@@ -1,0 +1,80 @@
+"""BFS vs CPU oracle — the reference's core validation contract
+(tests/bfs/test_bfs.cu: GPU labels/preds element-wise vs
+SimpleReferenceBfs)."""
+
+import numpy as np
+import pytest
+
+from gunrockinst_tpu.oracles import bfs_reference
+from gunrockinst_tpu.primitives import bfs
+from gunrockinst_tpu.primitives.base import INF32
+
+
+def check_bfs(csr, src, mode):
+    res = bfs.run(csr, src, traversal_mode=mode)
+    labels, preds = bfs_reference(csr, src)
+    np.testing.assert_array_equal(res.labels, labels)
+    np.testing.assert_array_equal(res.preds, preds)
+    # stats sanity
+    assert res.stats.search_depth == labels[labels != INF32].max()
+    assert res.stats.nodes_visited == int((labels != INF32).sum())
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse", "auto"])
+def test_bfs_chesapeake(chesapeake, mode):
+    check_bfs(chesapeake, 0, mode)
+
+
+@pytest.mark.parametrize("src", [0, 17, 38])
+def test_bfs_chesapeake_sources(chesapeake, src):
+    check_bfs(chesapeake, src, "dense")
+
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_bfs_bips(bips, mode):
+    check_bfs(bips, 0, mode)
+
+
+def test_bfs_directed_disconnected(small_random):
+    res = bfs.run(small_random, 3)
+    labels, preds = bfs_reference(small_random, 3)
+    np.testing.assert_array_equal(res.labels, labels)
+    np.testing.assert_array_equal(res.preds, preds)
+
+
+def test_bfs_no_preds(chesapeake):
+    res = bfs.run(chesapeake, 0, mark_preds=False)
+    labels, _ = bfs_reference(chesapeake, 0)
+    np.testing.assert_array_equal(res.labels, labels)
+    assert res.preds is None
+
+
+def test_bfs_isolated_source():
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    # vertex 4 has no edges at all
+    coo = CooGraph(5, np.array([0, 1]), np.array([1, 2]))
+    csr = CsrGraph.from_coo(coo)
+    res = bfs.run(csr, 4)
+    assert res.labels[4] == 0
+    assert (res.labels[:4] == INF32).all()
+
+
+def test_bfs_max_depth(chesapeake):
+    res = bfs.run(chesapeake, 0, max_depth=1)
+    assert res.stats.search_depth == 1
+    assert (res.labels[res.labels != INF32] <= 1).all()
+
+
+def test_bfs_rmat_modes_agree():
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    csr = rmat_graph(9, 8, undirected=True, seed=5)
+    a = bfs.run(csr, 0, traversal_mode="dense")
+    b = bfs.run(csr, 0, traversal_mode="sparse")
+    c = bfs.run(csr, 0, traversal_mode="auto")
+    np.testing.assert_array_equal(a.labels, b.labels)
+    np.testing.assert_array_equal(a.labels, c.labels)
+    np.testing.assert_array_equal(a.preds, b.preds)
+    labels, preds = bfs_reference(csr, 0)
+    np.testing.assert_array_equal(a.labels, labels)
+    np.testing.assert_array_equal(a.preds, preds)
