@@ -1,0 +1,69 @@
+"""Benchmark harness.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Headline metric (BASELINE.md): BFS traversal rate in GTEPS on a
+Kronecker/R-MAT graph (soc-LiveJournal1 is not fetchable offline; the
+reference's own regression set uses kron_g500 graphs of the same
+family). vs_baseline is measured against the 5 GTEPS/host north star.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SCALE = int(os.environ.get("BENCH_SCALE", "20"))
+EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
+N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     ".bench_cache")
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    from gunrockinst_tpu.graph.csr import DeviceGraph
+    from gunrockinst_tpu.primitives import bfs
+    from gunrockinst_tpu.primitives.base import INF32
+
+    t0 = time.time()
+    csr = rmat_graph(SCALE, EDGE_FACTOR, undirected=True, seed=42,
+                     cache_dir=CACHE)
+    print(f"# graph: rmat s{SCALE} ef{EDGE_FACTOR} -> "
+          f"{csr.num_nodes} nodes, {csr.num_edges} edges "
+          f"(build {time.time()-t0:.1f}s)", file=sys.stderr)
+
+    g = DeviceGraph.build(csr, with_csc=False)
+    src = int(np.argmax(csr.degrees))  # largest-degree source (ref flag)
+
+    best = None
+    for mode in ("auto",):
+        res = bfs.run(csr if g is None else g, src, mark_preds=False,
+                      traversal_mode=mode)
+        for _ in range(N_RUNS - 1):
+            r2 = bfs.run(g, src, mark_preds=False, traversal_mode=mode)
+            if r2.stats.elapsed_ms < res.stats.elapsed_ms:
+                res = r2
+        gteps = res.stats.edges_visited / (res.stats.elapsed_ms * 1e6)
+        print(f"# mode={mode}: {res.stats.elapsed_ms:.2f} ms, "
+              f"depth {res.stats.search_depth}, "
+              f"{res.stats.edges_visited} edges, {gteps:.4f} GTEPS",
+              file=sys.stderr)
+        if best is None or gteps > best:
+            best = gteps
+
+    print(json.dumps({
+        "metric": f"BFS GTEPS rmat{SCALE} (single chip)",
+        "value": round(best, 4),
+        "unit": "GTEPS",
+        "vs_baseline": round(best / 5.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -74,3 +74,14 @@ class Timer:
     @staticmethod
     def block(tree):
         jax.block_until_ready(tree)
+
+
+def sync(x) -> None:
+    """Force completion of the computation producing `x`.
+
+    On the axon TPU backend `jax.block_until_ready` can return before
+    the device work finishes; a host fetch cannot. Always sync on a
+    SCALAR output (e.g. the iteration counter) so the transfer itself
+    is free but the full program must have run to produce it.
+    """
+    np.asarray(x)

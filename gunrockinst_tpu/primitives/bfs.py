@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from gunrockinst_tpu.graph.csr import DeviceGraph
 from gunrockinst_tpu.ops import frontier as fr
 from gunrockinst_tpu.primitives.base import (GraphLike, INF32, Stats, Timer,
-                                             device_graph)
+                                             device_graph, sync)
 
 INT_MAX = jnp.iinfo(jnp.int32).max
 
@@ -185,11 +185,11 @@ def run(graph: GraphLike, src: int, mark_preds: bool = True,
     # warm-up compile, then timed run (reference averages over
     # --iteration-num runs after a cold start; we time the warm run)
     out = fn(g, src, mark_preds=mark_preds, max_depth=max_depth)
-    jax.block_until_ready(out)
+    sync(out[2])
     with Timer() as t:
         labels, preds, depth, queued = fn(g, src, mark_preds=mark_preds,
                                           max_depth=max_depth)
-        jax.block_until_ready(labels)
+        sync(depth)
     labels_np = np.asarray(labels)[: g.n]
     visited = labels_np != INF32
     deg = np.asarray(g.out_degree)[: g.n]

@@ -1,0 +1,112 @@
+"""PageRank (Gunrock semantics).
+
+Re-expression of gunrock/app/pr: rank init (1-delta)
+(pr_problem.cuh:407), per-round push rank/deg with both-endpoints-live
+guard (pr_functor.cuh:49-64), damping applied in the filter stage with
+optional personalization source (pr_functor.cuh:84-88), frontier =
+vertices whose rank moved more than `threshold`, and the
+RemoveZeroDegreeNode dangling pre-pass (pr_enactor.cuh:247-300) run as
+an on-device fixpoint. atomicAdd becomes scatter-add (deterministic).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gunrockinst_tpu.graph.csr import DeviceGraph
+from gunrockinst_tpu.primitives.base import (GraphLike, Stats, Timer,
+                                             device_graph, sync)
+
+
+@jax.jit
+def effective_degrees(graph: DeviceGraph):
+    """Dangling-removal fixpoint: a vertex's effective out-degree counts
+    only edges to vertices that still have outgoing edges themselves."""
+    esrc, edst = graph.edge_src, graph.edge_dst
+    deg0 = graph.out_degree
+
+    def cond(carry):
+        deg, changed = carry
+        return changed
+
+    def body(carry):
+        deg, _ = carry
+        live_edge = (deg[edst] > 0) & (deg[esrc] > 0)
+        newdeg = jnp.zeros_like(deg).at[esrc].add(live_edge.astype(deg.dtype))
+        newdeg = jnp.where(deg > 0, newdeg, 0)
+        return (newdeg, jnp.any(newdeg != deg))
+
+    deg, _ = jax.lax.while_loop(cond, body, (deg0, jnp.bool_(True)))
+    return deg
+
+
+@functools.partial(jax.jit, static_argnames=("max_iter",))
+def pr_kernel(graph: DeviceGraph, delta, threshold, src,
+              max_iter: int = 50):
+    """Returns (rank (n_pad,) f32, iterations)."""
+    n_pad = graph.n_pad
+    esrc, edst = graph.edge_src, graph.edge_dst
+    deg = effective_degrees(graph)
+    degf = jnp.maximum(deg.astype(jnp.float32), 1.0)
+    real = jnp.arange(n_pad, dtype=jnp.int32) < graph.n
+    personal = jnp.where(src < 0, real.astype(jnp.float32),
+                         (jnp.arange(n_pad, dtype=jnp.int32) == src
+                          ).astype(jnp.float32))
+    rank0 = jnp.where(real, 1.0 - delta, 0.0)
+    active0 = (deg > 0) & real
+
+    def cond(carry):
+        rank, active, it = carry
+        return jnp.any(active) & (it <= max_iter)
+
+    def body(carry):
+        rank, active, it = carry
+        contrib = jnp.where(active, rank / degf, 0.0)
+        ok = (deg[esrc] > 0) & (deg[edst] > 0)
+        nxt = jnp.zeros((n_pad,), jnp.float32).at[edst].add(
+            jnp.where(ok, contrib[esrc], 0.0))
+        nxt = jnp.where(real, delta * nxt + (1.0 - delta) * personal, 0.0)
+        active = (jnp.abs(nxt - rank) > threshold) & real
+        return nxt, active, it + 1
+
+    rank, active, it = jax.lax.while_loop(
+        cond, body, (rank0, active0, jnp.int32(0)))
+    return rank, it
+
+
+@dataclasses.dataclass
+class PrResult:
+    ranks: np.ndarray         # per-vertex rank
+    node_ids: np.ndarray      # vertices sorted by descending rank
+    sorted_ranks: np.ndarray  # ranks in that order
+    stats: Stats
+
+
+def run(graph: GraphLike, delta: float = 0.85, threshold: float = 0.01,
+        max_iter: int = 50, src: int = -1,
+        normalize: bool = False) -> PrResult:
+    """Host entry (run_pr analog, app/pr/pr_app.cu). src >= 0 enables
+    personalized PageRank. normalize=True rescales ranks to sum 1."""
+    g = device_graph(graph)
+    out = pr_kernel(g, jnp.float32(delta), jnp.float32(threshold),
+                    jnp.int32(src), max_iter=max_iter)
+    sync(out[1])
+    with Timer() as t:
+        rank, it = pr_kernel(g, jnp.float32(delta), jnp.float32(threshold),
+                             jnp.int32(src), max_iter=max_iter)
+        sync(it)
+    ranks = np.asarray(rank)[: g.n]
+    if normalize and ranks.sum() > 0:
+        ranks = ranks / ranks.sum()
+    order = np.lexsort((np.arange(g.n), -ranks))
+    stats = Stats(elapsed_ms=t.elapsed_ms, search_depth=int(it),
+                  nodes_visited=g.n, edges_visited=g.m * int(it))
+    return PrResult(ranks=ranks, node_ids=order.astype(np.int32),
+                    sorted_ranks=ranks[order], stats=stats)

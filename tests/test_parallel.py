@@ -1,0 +1,46 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: sharded results
+must be bit-identical to single-device results."""
+
+import numpy as np
+import jax
+
+from gunrockinst_tpu.graph.rmat import rmat_graph
+from gunrockinst_tpu.graph.csr import DeviceGraph
+from gunrockinst_tpu.oracles import bfs_reference
+from gunrockinst_tpu.parallel import edge_mesh, shard_graph
+from gunrockinst_tpu.parallel.dist import bfs_dist, pagerank_push_dist
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_bfs_dist_matches_oracle(chesapeake):
+    mesh = edge_mesh()
+    sg = shard_graph(DeviceGraph.build(chesapeake, with_csc=False), mesh)
+    labels, preds, depth = bfs_dist(sg, 0, mesh)
+    ref_labels, ref_preds = bfs_reference(chesapeake, 0)
+    np.testing.assert_array_equal(np.asarray(labels)[:sg.n], ref_labels)
+    np.testing.assert_array_equal(np.asarray(preds)[:sg.n], ref_preds)
+
+
+def test_bfs_dist_rmat_shard_invariance():
+    csr = rmat_graph(8, 8, undirected=True, seed=9)
+    ref_labels, ref_preds = bfs_reference(csr, 0)
+    for nd in (1, 4, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph(DeviceGraph.build(csr, with_csc=False), mesh)
+        labels, preds, _ = bfs_dist(sg, 0, mesh)
+        np.testing.assert_array_equal(np.asarray(labels)[:sg.n], ref_labels)
+        np.testing.assert_array_equal(np.asarray(preds)[:sg.n], ref_preds)
+
+
+def test_pagerank_dist_shard_invariance():
+    csr = rmat_graph(7, 8, undirected=True, seed=4)
+    outs = []
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph(DeviceGraph.build(csr, with_csc=False), mesh)
+        outs.append(np.asarray(pagerank_push_dist(sg, mesh))[:sg.n])
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
+    assert np.isfinite(outs[0]).all() and outs[0].max() > 0
