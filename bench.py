@@ -41,12 +41,21 @@ def main():
     g = DeviceGraph.build(csr, with_csc=False)
     src = int(np.argmax(csr.degrees))  # largest-degree source (ref flag)
 
+    # persistent compile cache: the fused pallas BFS takes minutes to
+    # compile cold; cache survives across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     best = None
-    for mode in ("auto",):
-        res = bfs.run(csr if g is None else g, src, mark_preds=False,
-                      traversal_mode=mode)
+    for mode in ("pallas", "auto"):
+        target = csr if mode == "pallas" else g
+        res = bfs.run(target, src, mark_preds=False, traversal_mode=mode)
         for _ in range(N_RUNS - 1):
-            r2 = bfs.run(g, src, mark_preds=False, traversal_mode=mode)
+            r2 = bfs.run(target, src, mark_preds=False, traversal_mode=mode)
             if r2.stats.elapsed_ms < res.stats.elapsed_ms:
                 res = r2
         gteps = res.stats.edges_visited / (res.stats.elapsed_ms * 1e6)

@@ -1,0 +1,212 @@
+"""CLI drivers — one subcommand per primitive.
+
+Parity with the reference's L6 layer (standalone test drivers
+tests/*/test_*.cu + the shared-lib C clients): parse flags, build the
+graph, run the primitive N times, optionally validate against the CPU
+oracle, print the reference's metric schema (elapsed / MiEdges/s /
+search_depth, tests/bfs/test_bfs.cu:210-235) and a DisplaySolution-style
+result dump.
+
+Usage:
+    python -m gunrockinst_tpu.cli bfs market graph.mtx --src=largestdegree
+    python -m gunrockinst_tpu.cli pr rmat --rmat-scale=14 --undirected
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from gunrockinst_tpu.utils.config import (load_graph, resolve_source,
+                                          standard_parser)
+
+PRIMS = ["bfs", "dobfs", "sssp", "cc", "bc", "pr", "topk", "hits",
+         "salsa", "wtf", "mis", "mst"]
+
+
+def _display(name, ids, values, limit=10):
+    print(f"[{name}] first {min(limit, len(ids))} entries:")
+    for i in range(min(limit, len(ids))):
+        print(f"    Node_ID {ids[i]}: {values[i]}")
+
+
+def _validate(name, ok):
+    print(f"{name} CORRECTNESS: {'PASSED' if ok else 'FAILED'}")
+    return 0 if ok else 1
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(f"usage: python -m gunrockinst_tpu.cli <{'|'.join(PRIMS)}> "
+              "<market file.mtx | rmat> [flags]")
+        return 0
+    prim = argv.pop(0)
+    if prim not in PRIMS:
+        print(f"unknown primitive '{prim}'; choose from {PRIMS}")
+        return 2
+    args = standard_parser(prim).parse_args(argv)
+    csr = load_graph(args)
+    if not args.quiet:
+        print(f"graph: {csr.num_nodes} nodes, {csr.num_edges} edges")
+    rc = 0
+
+    if prim in ("bfs", "dobfs"):
+        from gunrockinst_tpu.primitives import bfs as bfs_mod
+        from gunrockinst_tpu.primitives import dobfs as dobfs_mod
+        src = resolve_source(args.src, csr)
+        if prim == "bfs":
+            res = bfs_mod.run(csr, src, mark_preds=args.mark_pred,
+                              traversal_mode=args.traversal_mode)
+        else:
+            res = dobfs_mod.run(csr, src, alpha=args.alpha, beta=args.beta,
+                                mark_preds=args.mark_pred)
+        res.stats.display(prim)
+        _display(prim, np.arange(len(res.labels)), res.labels)
+        if not args.quick:
+            from gunrockinst_tpu.oracles import bfs_reference
+            labels, _ = bfs_reference(csr, src)
+            rc = _validate(prim, np.array_equal(res.labels, labels))
+
+    elif prim == "sssp":
+        from gunrockinst_tpu.primitives import sssp as m
+        src = resolve_source(args.src, csr)
+        res = m.run(csr, src, delta=args.delta_factor,
+                    mark_preds=args.mark_pred)
+        res.stats.display(prim)
+        _display(prim, np.arange(len(res.dist)), res.dist)
+        if not args.quick:
+            from gunrockinst_tpu.oracles import sssp_reference
+            dist, _ = sssp_reference(csr, src)
+            rc = _validate(prim, np.array_equal(res.dist, dist))
+
+    elif prim == "cc":
+        from gunrockinst_tpu.primitives import cc as m
+        res = m.run(csr)
+        res.stats.display(prim)
+        print(f"number of components: {res.num_components}")
+        _display(prim, np.arange(len(res.component_ids)), res.component_ids)
+        if not args.quick:
+            from gunrockinst_tpu.oracles import cc_reference
+            rc = _validate(prim, np.array_equal(res.component_ids,
+                                                cc_reference(csr)))
+
+    elif prim == "bc":
+        from gunrockinst_tpu.primitives import bc as m
+        src = resolve_source(args.src, csr)
+        res = m.run(csr, src=src)
+        res.stats.display(prim)
+        _display(prim, np.arange(len(res.bc_values)), res.bc_values)
+        if not args.quick:
+            from gunrockinst_tpu.oracles import bc_reference
+            ref, _, _ = bc_reference(csr, src=src)
+            rc = _validate(prim, np.allclose(res.bc_values, ref,
+                                             rtol=1e-4, atol=1e-5))
+
+    elif prim == "pr":
+        from gunrockinst_tpu.primitives import pr as m
+        res = m.run(csr, delta=args.delta, threshold=args.error,
+                    max_iter=args.max_iter)
+        res.stats.display(prim)
+        _display(prim, res.node_ids[: args.top_nodes],
+                 res.sorted_ranks[: args.top_nodes])
+        if not args.quick:
+            from gunrockinst_tpu.oracles import pagerank_reference
+            ref = pagerank_reference(csr, delta=args.delta,
+                                     threshold=args.error,
+                                     max_iter=args.max_iter)
+            rc = _validate(prim, np.allclose(res.ranks, ref, rtol=1e-4,
+                                             atol=1e-5))
+
+    elif prim == "topk":
+        from gunrockinst_tpu.primitives import topk as m
+        res = m.run(csr, args.top_nodes)
+        res.stats.display(prim)
+        for i in range(len(res.node_ids)):
+            print(f"    Node ID {res.node_ids[i]}: in_degrees "
+                  f"{res.in_degrees[i]}: out_degrees {res.out_degrees[i]}")
+        if not args.quick:
+            from gunrockinst_tpu.oracles import topk_degree_reference
+            ids, cent, _, _ = topk_degree_reference(csr, args.top_nodes)
+            rc = _validate(prim, np.array_equal(res.node_ids, ids))
+
+    elif prim == "hits":
+        from gunrockinst_tpu.primitives import hits as m
+        src = resolve_source(args.src, csr)
+        res = m.run(csr, src=src, delta=args.delta, max_iter=args.max_iter)
+        res.stats.display(prim)
+        order = np.argsort(-res.hub_ranks)[: args.top_nodes]
+        _display("hub", order, res.hub_ranks[order])
+        if not args.quick:
+            from gunrockinst_tpu.oracles import hits_reference
+            hub, auth = hits_reference(csr, src, delta=args.delta,
+                                       max_iter=args.max_iter)
+            rc = _validate(prim, np.allclose(res.hub_ranks, hub, rtol=1e-4,
+                                             atol=1e-6))
+
+    elif prim == "salsa":
+        from gunrockinst_tpu.primitives import salsa as m
+        res = m.run(csr, max_iter=args.max_iter)
+        res.stats.display(prim)
+        order = np.argsort(-res.auth_ranks)[: args.top_nodes]
+        _display("auth", order, res.auth_ranks[order])
+        if not args.quick:
+            from gunrockinst_tpu.oracles import salsa_reference
+            hub, auth = salsa_reference(csr, max_iter=args.max_iter)
+            rc = _validate(prim, np.allclose(res.auth_ranks, auth,
+                                             rtol=1e-4, atol=1e-6))
+
+    elif prim == "wtf":
+        from gunrockinst_tpu.primitives import wtf as m
+        src = resolve_source(args.src, csr)
+        res = m.run(csr, src=src, alpha=args.salsa_alpha, delta=args.delta,
+                    threshold=args.error, max_iter=args.max_iter)
+        res.stats.display(prim)
+        order = np.argsort(-res.wtf_ranks)[: args.top_nodes]
+        _display(prim, order, res.wtf_ranks[order])
+        if not args.quick:
+            from gunrockinst_tpu.oracles.wtf import wtf_reference
+            ref, _, _ = wtf_reference(csr, src, alpha=args.salsa_alpha,
+                                      delta=args.delta,
+                                      threshold=args.error,
+                                      max_iter=args.max_iter)
+            rc = _validate(prim, np.allclose(res.wtf_ranks, ref, rtol=1e-4,
+                                             atol=1e-6))
+
+    elif prim == "mis":
+        from gunrockinst_tpu.primitives import mis as m
+        res = m.run(csr)
+        res.stats.display(prim)
+        print(f"MIS size: {int(res.in_set.sum())}")
+        if not args.quick:
+            from gunrockinst_tpu.oracles import verify_mis
+            rc = _validate(prim, verify_mis(csr, res.in_set))
+
+    elif prim == "mst":
+        from gunrockinst_tpu.primitives import mst as m
+        res = m.run(csr)
+        res.stats.display(prim)
+        print(f"MST: {len(res.edges)} edges, total weight "
+              f"{res.total_weight}")
+        if not args.quick:
+            from gunrockinst_tpu.oracles import verify_spanning_tree
+            ok = verify_spanning_tree(
+                _canonical_csr(csr), res.edge_mask)
+            rc = _validate(prim, ok)
+
+    return rc
+
+
+def _canonical_csr(csr):
+    """CSR over the canonical undirected edge set the MST kernel uses."""
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.primitives.mst import canonical_edges
+    u, v, w = canonical_edges(csr)
+    return CsrGraph.from_coo(
+        CooGraph(csr.num_nodes, u.astype(np.int64), v.astype(np.int64), w))
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,7 +41,7 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-@dataclasses.dataclass
+@dataclasses.dataclass(eq=False)  # identity-hashable: used as cache key
 class CsrGraph:
     """Host CSR: ``row_offsets`` (n+1,), ``col_indices`` (m,),
     optional ``edge_values`` (m,) and ``node_values`` (n,)."""

@@ -176,6 +176,34 @@ def run(graph: GraphLike, src: int, mark_preds: bool = True,
         traversal_mode: str = "dense",
         max_depth: Optional[int] = None) -> BfsResult:
     """Host entry (run_bfs analog, app/bfs/bfs_app.cu:241)."""
+    if traversal_mode == "pallas":
+        from gunrockinst_tpu.graph.csr import CsrGraph
+        from gunrockinst_tpu.primitives.bfs_pallas import bfs_pallas_fused
+        if not isinstance(graph, CsrGraph):
+            raise TypeError("traversal_mode='pallas' needs a host CsrGraph "
+                            "(the pull plan is built from it)")
+        if not (0 <= src < graph.num_nodes):
+            raise ValueError(f"source vertex {src} out of range "
+                             f"[0, {graph.num_nodes})")
+        out = bfs_pallas_fused(graph, src, mark_preds=False)  # warm-up
+        with Timer() as t:  # timed: traversal only (reference convention)
+            labels_np, _, depth = bfs_pallas_fused(
+                graph, src, mark_preds=False)
+        preds_np = None
+        if mark_preds:
+            _, preds_np, _ = bfs_pallas_fused(graph, src, mark_preds=True)
+        visited = labels_np != INF32
+        deg = np.diff(graph.row_offsets)
+        stats = Stats(
+            elapsed_ms=t.elapsed_ms,
+            search_depth=(int(labels_np[visited].max())
+                          if visited.any() else 0),
+            nodes_visited=int(visited.sum()),
+            edges_visited=int(deg[visited].sum()),
+            total_queued=int(visited.sum()),
+        )
+        return BfsResult(labels=labels_np, preds=preds_np, stats=stats)
+
     g = device_graph(graph)
     if not (0 <= src < g.n):
         raise ValueError(f"source vertex {src} out of range [0, {g.n})")

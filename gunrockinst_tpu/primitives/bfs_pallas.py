@@ -1,0 +1,162 @@
+"""BFS over the Pallas pull-sweep kernel (traversal_mode="pallas").
+
+Level loop runs on host (one kernel launch + one n-sized XLA update
+per level); the O(m) frontier expansion — the reference's hot kernel —
+runs in the hand-written pull-sweep kernel (ops/pallas_advance.py).
+Predecessors are derived post-hoc from final labels (deterministic
+min-id tie-break), like the SSSP primitive does.
+"""
+
+from __future__ import annotations
+
+import functools
+import weakref
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gunrockinst_tpu.graph.csr import CsrGraph
+from gunrockinst_tpu.ops.pallas_advance import (PullPlan, PullSweeper,
+                                                build_pull_plan, pack_bitmap,
+                                                unpack_bitmap)
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+_sweeper_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_pull_sweeper(csr: CsrGraph,
+                     interpret: Optional[bool] = None) -> PullSweeper:
+    """Build (and cache per-CsrGraph) the pull plan + compiled sweeper.
+
+    interpret=None auto-selects interpreter mode on the CPU backend
+    (Mosaic only compiles for TPU)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    key = csr
+    hit = _sweeper_cache.get(key)
+    if hit is not None:
+        return hit
+    csc = csr.transposed()
+    plan = build_pull_plan(csc.row_offsets, csc.col_indices, csr.num_nodes)
+    sweeper = PullSweeper(plan, interpret=interpret)
+    _sweeper_cache[key] = sweeper
+    return sweeper
+
+
+@functools.partial(jax.jit, static_argnames=("n_words",))
+def _level_update(labels, touched_words, depth, n_words: int):
+    n_pad = labels.shape[0]
+    touched = unpack_bitmap(touched_words, n_pad)
+    newf = touched & (labels == INT_MAX)
+    labels = jnp.where(newf, depth + 1, labels)
+    new_words = pack_bitmap(newf, n_words)
+    return labels, new_words, jnp.sum(newf.astype(jnp.int32))
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _post_preds(labels, esrc, edst, n_pad: int):
+    cand = (labels[esrc] != INT_MAX) & (labels[edst] == labels[esrc] + 1)
+    preds = jnp.full((n_pad,), INT_MAX, jnp.int32).at[edst].min(
+        jnp.where(cand, esrc, INT_MAX))
+    return jnp.where(preds == INT_MAX, -1, preds)
+
+
+_fused_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_fused_bfs(csr: CsrGraph):
+    """Whole-search BFS as ONE jitted program: `lax.while_loop` around
+    (pull sweep -> label update -> repack). Avoids the per-level host
+    dispatch latency entirely (the reference's per-iteration kernel
+    launches + D2H queue-length reads collapse into a single launch)."""
+    hit = _fused_cache.get(csr)
+    if hit is not None:
+        return hit
+    n = csr.num_nodes
+    n_pad = ((n + 128) // 128) * 128
+    sweeper = get_pull_sweeper(csr)
+    sweep = sweeper.sweep
+    n_words = sweeper.n_words
+
+    @jax.jit
+    def bfs_full(src):
+        labels0 = jnp.full((n_pad,), INT_MAX, jnp.int32).at[src].set(0)
+        f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
+        fw0 = pack_bitmap(f0, n_words)
+
+        def cond(c):
+            labels, fw, depth, cont = c
+            return cont & (depth < n)
+
+        def body(c):
+            labels, fw, depth, _ = c
+            touched = unpack_bitmap(sweep(fw), n_pad)
+            newf = touched & (labels == INT_MAX)
+            labels = jnp.where(newf, depth + 1, labels)
+            return (labels, pack_bitmap(newf, n_words), depth + 1,
+                    jnp.any(newf))
+
+        labels, fw, depth, _ = jax.lax.while_loop(
+            cond, body, (labels0, fw0, jnp.int32(0), jnp.bool_(True)))
+        return labels, depth
+
+    _fused_cache[csr] = bfs_full
+    return bfs_full
+
+
+def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True
+                     ) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
+    n = csr.num_nodes
+    n_pad = ((n + 128) // 128) * 128
+    fn = get_fused_bfs(csr)
+    labels, depth = fn(src)
+    labels_np = np.asarray(labels)[:n]
+    preds_np = None
+    if mark_preds:
+        esrc = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32),
+                                     np.diff(csr.row_offsets)))
+        edst = jnp.asarray(csr.col_indices.astype(np.int32))
+        preds_np = np.array(_post_preds(labels, esrc, edst, n_pad))[:n]
+        if 0 <= src < n:
+            preds_np[src] = -1
+    return labels_np, preds_np, int(depth)
+
+
+def bfs_pallas(csr: CsrGraph, src: int, mark_preds: bool = True,
+               max_depth: Optional[int] = None,
+               interpret: Optional[bool] = None
+               ) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
+    """Returns (labels (n,), preds (n,)|None, depth)."""
+    n = csr.num_nodes
+    n_pad = ((n + 128) // 128) * 128
+    sweeper = get_pull_sweeper(csr, interpret=interpret)
+    n_words = sweeper.n_words
+
+    labels = jnp.full((n_pad,), INT_MAX, jnp.int32).at[src].set(0)
+    frontier = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
+    fw = pack_bitmap(frontier, n_words)
+    depth = 0
+    limit = max_depth if max_depth is not None else n + 1
+    while depth < limit:
+        touched_words = sweeper(fw)
+        labels, fw, count = _level_update(labels, touched_words,
+                                          jnp.int32(depth), n_words)
+        depth += 1
+        if int(count) == 0:
+            depth -= 1
+            break
+    labels_np = np.asarray(labels)[:n]
+    preds_np = None
+    if mark_preds:
+        esrc = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32),
+                                     np.diff(csr.row_offsets)))
+        edst = jnp.asarray(csr.col_indices.astype(np.int32))
+        preds = _post_preds(labels, esrc, edst, n_pad)
+        preds_np = np.array(preds)[:n]  # copy: we patch the source entry
+        if 0 <= src < n:
+            preds_np[src] = -1
+    return labels_np, preds_np, depth

@@ -78,3 +78,22 @@ def test_bfs_rmat_modes_agree():
     labels, preds = bfs_reference(csr, 0)
     np.testing.assert_array_equal(a.labels, labels)
     np.testing.assert_array_equal(a.preds, preds)
+
+
+def test_bfs_pallas_interpret(chesapeake):
+    """Pallas pull-sweep BFS (interpret mode on CPU) vs oracle."""
+    from gunrockinst_tpu.primitives.bfs_pallas import bfs_pallas
+    labels, preds, depth = bfs_pallas(chesapeake, 0, interpret=True)
+    ref_labels, ref_preds = bfs_reference(chesapeake, 0)
+    np.testing.assert_array_equal(labels, ref_labels)
+    np.testing.assert_array_equal(preds, ref_preds)
+
+
+def test_bfs_pallas_rmat_interpret():
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    from gunrockinst_tpu.primitives.bfs_pallas import bfs_pallas
+    csr = rmat_graph(9, 8, undirected=True, seed=5)
+    labels, preds, _ = bfs_pallas(csr, 0, interpret=True)
+    ref_labels, ref_preds = bfs_reference(csr, 0)
+    np.testing.assert_array_equal(labels, ref_labels)
+    np.testing.assert_array_equal(preds, ref_preds)

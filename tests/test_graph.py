@@ -8,6 +8,9 @@ from gunrockinst_tpu.graph.csr import CsrGraph, DeviceGraph
 from gunrockinst_tpu.graph.market import load_market, read_market
 from gunrockinst_tpu.graph.rmat import rmat_coo, rmat_graph
 
+SMALL = "/root/reference/dataset/small"
+BIPS = "/root/reference/simple_example/bips98_606.mtx"
+
 
 def test_csr_from_coo_basic():
     coo = CooGraph(4, np.array([0, 0, 1, 2, 3]), np.array([1, 2, 2, 3, 0]))
@@ -118,3 +121,34 @@ def test_save_load(tmp_path, small_random):
     g2 = CsrGraph.load(path)
     np.testing.assert_array_equal(g2.row_offsets, small_random.row_offsets)
     np.testing.assert_array_equal(g2.edge_values, small_random.edge_values)
+
+
+def test_native_parser_matches_numpy():
+    """The C++ parser (native/graphio.cpp) must agree with the NumPy
+    fallback on every fixture file."""
+    pytest.importorskip("gunrockinst_tpu.graph._native_io")
+    from gunrockinst_tpu.graph import _native_io
+    from gunrockinst_tpu.graph.market import _parse_mtx_numpy
+    for p in [f"{SMALL}/chesapeake.mtx", f"{SMALL}/test_bc.mtx",
+              f"{SMALL}/test_cc.mtx", f"{SMALL}/test_pr.mtx", BIPS]:
+        n1, r1, c1, v1, s1 = _native_io.parse_mtx(p)
+        n2, r2, c2, v2, s2 = _parse_mtx_numpy(p)
+        assert n1 == n2 and s1 == s2
+        np.testing.assert_array_equal(r1, r2)
+        np.testing.assert_array_equal(c1, c2)
+        assert (v1 is None) == (v2 is None)
+        if v1 is not None:
+            # strtof (direct f32) vs numpy (f64 then cast): 1-ulp slack
+            np.testing.assert_allclose(v1, v2, rtol=2e-6)
+
+
+def test_native_parser_errors(tmp_path):
+    pytest.importorskip("gunrockinst_tpu.graph._native_io")
+    from gunrockinst_tpu.graph import _native_io
+    with pytest.raises(FileNotFoundError):
+        _native_io.parse_mtx(str(tmp_path / "missing.mtx"))
+    bad = tmp_path / "bad.mtx"
+    bad.write_text("%%MatrixMarket matrix coordinate pattern general\n"
+                   "3 3 2\n1 x\n2 3\n")
+    with pytest.raises(ValueError):
+        _native_io.parse_mtx(str(bad))
