@@ -189,19 +189,23 @@ def _pull_kernel(src_row_base_ref, dst_row_ref, dst_lane_ref,
 class PullSweeper:
     """Per-graph compiled sweep: frontier words -> touched words.
 
-    Tile arrays are closure constants of the jitted callable so they
-    are staged to the device once.
+    The tile arrays are device_put once and passed as ARGUMENTS to the
+    jitted sweep: closure-capturing them would inline hundreds of MB of
+    constants into the lowered program (the remote compile service
+    rejects the payload and compile time explodes).
     """
 
     def __init__(self, plan: PullPlan, interpret: bool = False):
         self.plan = plan
         self.n_words = plan.n_words
         rows = plan.n_words // 128
-        src_tiles = jnp.asarray(plan.src_tiles)
-        dstrel_tiles = jnp.asarray(plan.dstrel_tiles)
-        srb = jnp.asarray(plan.src_row_base)
-        drow = jnp.asarray(plan.dst_row)
-        dlane = jnp.asarray(plan.dst_lane)
+        self.tiles = (
+            jax.device_put(plan.src_row_base),
+            jax.device_put(plan.dst_row),
+            jax.device_put(plan.dst_lane),
+            jax.device_put(plan.src_tiles),
+            jax.device_put(plan.dstrel_tiles),
+        )
 
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
@@ -215,22 +219,22 @@ class PullSweeper:
             ],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         )
-        call = pl.pallas_call(
+        self.pallas_fn = pl.pallas_call(
             _pull_kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
             interpret=interpret,
         )
+        self.sweep = jax.jit(self.pallas_fn)
 
-        @jax.jit
-        def sweep(frontier_words):
-            return call(srb, drow, dlane, src_tiles, dstrel_tiles,
-                        frontier_words)
-
-        self.sweep = sweep
+    def sweep_with(self, srb, drow, dlane, src_tiles, dstrel_tiles,
+                   frontier_words):
+        """Traceable form for embedding in larger jitted programs."""
+        return self.pallas_fn(srb, drow, dlane, src_tiles, dstrel_tiles,
+                              frontier_words)
 
     def __call__(self, frontier_words):
-        return self.sweep(frontier_words)
+        return self.sweep(*self.tiles, frontier_words)
 
 
 # ---- bitmap pack/unpack (XLA side, n-sized elementwise) ----

@@ -79,11 +79,10 @@ def get_fused_bfs(csr: CsrGraph):
     n = csr.num_nodes
     n_pad = ((n + 128) // 128) * 128
     sweeper = get_pull_sweeper(csr)
-    sweep = sweeper.sweep
     n_words = sweeper.n_words
 
     @jax.jit
-    def bfs_full(src):
+    def bfs_full_impl(src, srb, drow, dlane, src_tiles, dstrel_tiles):
         labels0 = jnp.full((n_pad,), INT_MAX, jnp.int32).at[src].set(0)
         f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
         fw0 = pack_bitmap(f0, n_words)
@@ -94,7 +93,9 @@ def get_fused_bfs(csr: CsrGraph):
 
         def body(c):
             labels, fw, depth, _ = c
-            touched = unpack_bitmap(sweep(fw), n_pad)
+            tw = sweeper.sweep_with(srb, drow, dlane, src_tiles,
+                                    dstrel_tiles, fw)
+            touched = unpack_bitmap(tw, n_pad)
             newf = touched & (labels == INT_MAX)
             labels = jnp.where(newf, depth + 1, labels)
             return (labels, pack_bitmap(newf, n_words), depth + 1,
@@ -103,6 +104,9 @@ def get_fused_bfs(csr: CsrGraph):
         labels, fw, depth, _ = jax.lax.while_loop(
             cond, body, (labels0, fw0, jnp.int32(0), jnp.bool_(True)))
         return labels, depth
+
+    def bfs_full(src):
+        return bfs_full_impl(src, *sweeper.tiles)
 
     _fused_cache[csr] = bfs_full
     return bfs_full
