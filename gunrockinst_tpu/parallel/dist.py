@@ -72,6 +72,77 @@ def bfs_dist(graph: ShardedGraph, src, mesh: Mesh,
               jnp.asarray([src], dtype=jnp.int32))
 
 
+def sssp_dist(graph: ShardedGraph, src, mesh: Mesh, weights=None):
+    """Distributed SSSP (frontier Bellman-Ford): local scatter-min
+    relaxations + pmin merge per round. Distances equal the
+    single-chip/Dijkstra fixpoint bitwise."""
+    n_pad = graph.n_pad
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P()),
+        out_specs=(P(), P()),
+        check_rep=False)
+    def search(esrc, edst, w, src_v):
+        inf = jnp.float32(jnp.inf)
+        dist0 = jnp.full((n_pad,), inf).at[src_v[0]].set(0.0)
+        pending0 = jnp.zeros((n_pad,), jnp.bool_).at[src_v[0]].set(True)
+
+        def cond(c):
+            dist, pending, it = c
+            return jnp.any(pending) & (it < 4 * graph.n + 8)
+
+        def body(c):
+            dist, pending, it = c
+            cand = pending[esrc]
+            vals = jnp.where(cand, dist[esrc] + w, inf)
+            relaxed_l = jnp.full((n_pad,), inf).at[edst].min(vals)
+            relaxed = jax.lax.pmin(relaxed_l, EDGE_AXIS)
+            newdist = jnp.minimum(dist, relaxed)
+            changed = newdist < dist
+            return newdist, changed, it + 1
+
+        dist, pending, it = jax.lax.while_loop(
+            cond, body, (dist0, pending0, jnp.int32(0)))
+        return dist, it
+
+    w = graph.edge_w if weights is None else weights
+    return jax.jit(search)(graph.edge_src, graph.edge_dst, w,
+                           jnp.asarray([src], dtype=jnp.int32))
+
+
+def cc_dist(graph: ShardedGraph, mesh: Mesh):
+    """Distributed connected components: shard-local min-hooking +
+    pmin merge, then pointer jumping on the replicated labels."""
+    n_pad = graph.n_pad
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS)),
+        out_specs=(P(), P()),
+        check_rep=False)
+    def run(esrc, edst):
+        comp0 = jnp.arange(n_pad, dtype=jnp.int32)
+
+        def cond(c):
+            comp, changed, it = c
+            return changed & (it < graph.n + 2)
+
+        def body(c):
+            comp, _, it = c
+            hook_l = comp.at[edst].min(comp[esrc]).at[esrc].min(comp[edst])
+            hook = jax.lax.pmin(hook_l, EDGE_AXIS)
+            hook = hook[hook]
+            hook = hook[hook]
+            return hook, jnp.any(hook != comp), it + 1
+
+        comp, _, it = jax.lax.while_loop(
+            cond, body, (comp0, jnp.bool_(True), jnp.int32(0)))
+        return comp, it
+
+    return jax.jit(run)(graph.edge_src, graph.edge_dst)
+
+
 def pagerank_push_dist(graph: ShardedGraph, mesh: Mesh,
                        delta: float = 0.85, threshold: float = 0.01,
                        max_iter: int = 50):

@@ -81,32 +81,53 @@ def get_fused_bfs(csr: CsrGraph):
     sweeper = get_pull_sweeper(csr)
     n_words = sweeper.n_words
 
+    # light-level path: LB-style sparse expansion in XLA for small
+    # frontiers (a full pull sweep costs O(m) no matter how small the
+    # frontier — the reference's light/heavy split, re-applied).
+    g = csr.to_device(with_csc=False)
+    light_cap = max(min(g.m_pad // 8, 1 << 17), 512)
+
     @jax.jit
-    def bfs_full_impl(src, srb, drow, dlane, src_tiles, dstrel_tiles):
+    def bfs_full_impl(src, g, srb, drow, dlane, src_tiles,
+                      dstrel_tiles):
+        from gunrockinst_tpu.ops import frontier as fr
+        from gunrockinst_tpu.ops.advance import expand_frontier
+
         labels0 = jnp.full((n_pad,), INT_MAX, jnp.int32).at[src].set(0)
         f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
-        fw0 = pack_bitmap(f0, n_words)
 
         def cond(c):
-            labels, fw, depth, cont = c
+            labels, frontier, depth, cont = c
             return cont & (depth < n)
 
-        def body(c):
-            labels, fw, depth, _ = c
+        def heavy(args):
+            labels, frontier = args
+            fw = pack_bitmap(frontier, n_words)
             tw = sweeper.sweep_with(srb, drow, dlane, src_tiles,
                                     dstrel_tiles, fw)
-            touched = unpack_bitmap(tw, n_pad)
+            return unpack_bitmap(tw, n_pad)
+
+        def light(args):
+            labels, frontier = args
+            ids, num = fr.compact(frontier, n_pad, g.n)
+            _, dst, _, lane_valid = expand_frontier(g, ids, num, light_cap)
+            return jnp.zeros((n_pad,), jnp.bool_).at[dst].max(lane_valid)
+
+        def body(c):
+            labels, frontier, depth, _ = c
+            fe = jnp.sum(jnp.where(frontier, g.out_degree, 0))
+            touched = jax.lax.cond(fe < light_cap, light, heavy,
+                                   (labels, frontier))
             newf = touched & (labels == INT_MAX)
             labels = jnp.where(newf, depth + 1, labels)
-            return (labels, pack_bitmap(newf, n_words), depth + 1,
-                    jnp.any(newf))
+            return labels, newf, depth + 1, jnp.any(newf)
 
-        labels, fw, depth, _ = jax.lax.while_loop(
-            cond, body, (labels0, fw0, jnp.int32(0), jnp.bool_(True)))
+        labels, frontier, depth, _ = jax.lax.while_loop(
+            cond, body, (labels0, f0, jnp.int32(0), jnp.bool_(True)))
         return labels, depth
 
     def bfs_full(src):
-        return bfs_full_impl(src, *sweeper.tiles)
+        return bfs_full_impl(src, g, *sweeper.tiles)
 
     _fused_cache[csr] = bfs_full
     return bfs_full

@@ -97,3 +97,31 @@ def test_bfs_pallas_rmat_interpret():
     ref_labels, ref_preds = bfs_reference(csr, 0)
     np.testing.assert_array_equal(labels, ref_labels)
     np.testing.assert_array_equal(preds, ref_preds)
+
+
+def test_pull_plan_v2_interpret():
+    """v2 flavor-split sweep (hub/packed) vs a direct reference, in
+    interpreter mode."""
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    from gunrockinst_tpu.ops.pallas_advance import pack_bitmap, unpack_bitmap
+    from gunrockinst_tpu.ops.pallas_advance_v2 import (PullSweeperV2,
+                                                       build_pull_plan_v2)
+    import jax.numpy as jnp
+
+    csr = rmat_graph(10, 8, undirected=True, seed=3)
+    n = csr.num_nodes
+    csc = csr.transposed()
+    plan = build_pull_plan_v2(csc.row_offsets, csc.col_indices, n)
+    sw = PullSweeperV2(plan, interpret=True)
+    rng = np.random.default_rng(0)
+    n_pad = ((n + 128) // 128) * 128
+    mask_pad = np.zeros(n_pad, bool)
+    mask_pad[:n] = rng.random(n) < 0.2
+    fw = pack_bitmap(jnp.asarray(mask_pad), plan.n_words)
+    out = sw(fw)
+    touched = np.asarray(unpack_bitmap(out, n_pad))[:n]
+    esrc = np.repeat(np.arange(n), np.diff(csr.row_offsets))
+    edst = csr.col_indices
+    ref = np.zeros(n, bool)
+    np.maximum.at(ref, edst[mask_pad[:n][esrc]], True)
+    np.testing.assert_array_equal(touched, ref)

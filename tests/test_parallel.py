@@ -44,3 +44,33 @@ def test_pagerank_dist_shard_invariance():
         outs.append(np.asarray(pagerank_push_dist(sg, mesh))[:sg.n])
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
     assert np.isfinite(outs[0]).all() and outs[0].max() > 0
+
+
+def test_sssp_dist_matches_oracle():
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.oracles import sssp_reference
+    from gunrockinst_tpu.parallel.dist import sssp_dist
+    rng = np.random.default_rng(3)
+    n, m = 120, 700
+    csr = CsrGraph.from_coo(CooGraph(
+        n, rng.integers(0, n, m), rng.integers(0, n, m),
+        rng.integers(1, 32, m).astype(np.float32)))
+    ref, _ = sssp_reference(csr, 0)
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph(DeviceGraph.build(csr, with_csc=False), mesh)
+        dist, it = sssp_dist(sg, 0, mesh)
+        np.testing.assert_array_equal(np.asarray(dist)[:n], ref)
+
+
+def test_cc_dist_matches_oracle(chesapeake):
+    from gunrockinst_tpu.oracles import cc_reference
+    from gunrockinst_tpu.parallel.dist import cc_dist
+    ref = cc_reference(chesapeake)
+    for nd in (1, 4, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph(DeviceGraph.build(chesapeake, with_csc=False), mesh)
+        comp, it = cc_dist(sg, mesh)
+        np.testing.assert_array_equal(np.asarray(comp)[:chesapeake.num_nodes],
+                                      ref)
