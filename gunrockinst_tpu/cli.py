@@ -56,6 +56,21 @@ def main(argv=None) -> int:
         from gunrockinst_tpu.primitives import bfs as bfs_mod
         from gunrockinst_tpu.primitives import dobfs as dobfs_mod
         src = resolve_source(args.src, csr)
+        if prim == "bfs" and args.instrumented:
+            # INST-mode: sliced execution with per-iteration trace lines
+            from gunrockinst_tpu.primitives.base import Stats
+            from gunrockinst_tpu.utils.instrument import (ProgressTracer,
+                                                          SteppedBfs)
+            tracer = ProgressTracer(verbose=True)
+            stepped = SteppedBfs(csr.to_device(with_csc=False), src,
+                                 tracer=tracer)
+            labels = stepped.run_to_completion()
+            print(f"instrumented run: {tracer.summary()}")
+            if not args.quick:
+                from gunrockinst_tpu.oracles import bfs_reference
+                ref, _ = bfs_reference(csr, src)
+                return _validate(prim, np.array_equal(labels, ref))
+            return 0
         if prim == "bfs":
             res = bfs_mod.run(csr, src, mark_preds=args.mark_pred,
                               traversal_mode=args.traversal_mode)

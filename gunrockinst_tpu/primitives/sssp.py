@@ -68,9 +68,9 @@ def sssp_kernel(graph: DeviceGraph, src, delta,
         if mode == "bellman":
             newdist, pending = relax_set(dist, pending, pending)
             return newdist, pending, level, it + 1
-        # delta-stepping: near = pending with dist below the level bound
-        bound = (level.astype(jnp.float32) + 1.0) * delta
-        near = pending & (dist < bound)
+        # delta-stepping: near/far bucket split (ops/priority.py)
+        from gunrockinst_tpu.ops.priority import near_far_split
+        near, _far = near_far_split(pending, dist, level, delta)
         has_near = jnp.any(near)
 
         def do_relax(args):
@@ -82,12 +82,9 @@ def sssp_kernel(graph: DeviceGraph, src, delta,
             dist, pending, level = args
             # jump straight to the bucket of the nearest pending vertex
             # (one level-bump per iteration would stall for tiny delta)
-            minpend = jnp.min(jnp.where(pending, dist, F_INF))
-            new_level = jnp.where(
-                jnp.isfinite(minpend),
-                jnp.floor(minpend / delta).astype(jnp.int32),
-                level + 1)
-            return dist, pending, jnp.maximum(new_level, level + 1)
+            from gunrockinst_tpu.ops.priority import next_nonempty_level
+            return dist, pending, next_nonempty_level(pending, dist,
+                                                      level, delta)
 
         dist, pending, level = jax.lax.cond(
             has_near, do_relax, bump_level, (dist, pending, level))

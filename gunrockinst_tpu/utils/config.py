@@ -38,6 +38,9 @@ def standard_parser(prim: str) -> argparse.ArgumentParser:
                    choices=["dense", "sparse", "auto", "pallas"],
                    help="advance strategy (LB/TWC analog)")
     p.add_argument("--mark-pred", action="store_true")
+    p.add_argument("--instrumented", action="store_true",
+                   help="sliced execution with per-iteration trace lines "
+                        "(INST layer analog)")
     p.add_argument("--idempotence", action="store_true",
                    help="accepted for flag parity (bitmaps are always "
                         "idempotent)")
