@@ -66,6 +66,19 @@ def main():
         if best is None or gteps > best:
             best = gteps
 
+    # secondary metric (stderr only): PageRank edge throughput per chip
+    if os.environ.get("BENCH_PR", "1") == "1":
+        try:
+            from gunrockinst_tpu.primitives import pr
+            res = pr.run(g, max_iter=5)
+            edges_proc = csr.num_edges * res.stats.search_depth
+            rate = edges_proc / (res.stats.elapsed_ms * 1e6)
+            print(f"# pagerank: {res.stats.elapsed_ms:.1f} ms for "
+                  f"{res.stats.search_depth} iters -> {rate:.4f} G edge-"
+                  f"updates/s", file=sys.stderr)
+        except Exception as e:  # secondary metric must never break bench
+            print(f"# pagerank bench skipped: {e}", file=sys.stderr)
+
     print(json.dumps({
         "metric": f"BFS GTEPS rmat{SCALE} (single chip)",
         "value": round(best, 4),

@@ -188,6 +188,61 @@ def _pull_kernel(src_row_base_ref, dst_row_ref, dst_lane_ref,
         out_ref[pl.ds(drow, 1), :] = cur | out_row
 
 
+def _pull_kernel_fused(src_row_base_ref, dst_row_ref, dst_lane_ref,
+                       src_ref, dstrel_ref, words_ref, unvis_ref, out_ref):
+    """Variant fusing the frontier-update filter into the sweep: takes
+    an UNVISITED bitmap alongside the frontier, ANDs it into the
+    output (so the result is directly the next frontier), and skips a
+    subtile's entire compute when its destination window has no
+    unvisited vertices — the dominant case in the last heavy levels."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    for k in range(SUBTILES):
+        t = i * SUBTILES + k
+        drow = dst_row_ref[t]
+        dlane = dst_lane_ref[t]
+        uv_row = unvis_ref[pl.ds(drow, 1), :]
+        win = (lane_iota >= dlane) & (lane_iota < dlane + WORDS_PER_WIN)
+        uv_win = jnp.where(win, uv_row, 0)
+
+        @pl.when(jnp.any(uv_win != 0))
+        def _(t=t, uv_win=uv_win, drow=drow, dlane=dlane):
+            src = src_ref[8 * k: 8 * (k + 1), :]
+            dstrel = dstrel_ref[8 * k: 8 * (k + 1), :]
+            row_base = src_row_base_ref[t]
+            widx = src >> 5
+            lane = widx & 127
+            rel_row = (widx >> 7) - row_base
+            gathered = jnp.zeros((8, 128), jnp.int32)
+            for r in range(ROWS_PER_REGION):
+                row_words = words_ref[pl.ds(row_base + r, 1), :]
+                rw = jnp.broadcast_to(row_words, (8, 128))
+                g = jnp.take_along_axis(rw, lane, axis=1)
+                gathered = jnp.where(rel_row == r, g, gathered)
+            active = (gathered >> (src & 31)) & 1
+            bitval = active << (dstrel & 31)
+            wsel = dstrel >> 5
+            out_row = jnp.zeros((1, 128), jnp.int32)
+            for wsel_k in range(WORDS_PER_WIN):
+                v = jnp.where(wsel == wsel_k, bitval, 0)
+                v = v[0:4, :] | v[4:8, :]
+                v = v[0:2, :] | v[2:4, :]
+                v = v[0:1, :] | v[1:2, :]
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    v = v | pltpu.roll(v, sh, axis=1)
+                out_row = out_row | jnp.where(
+                    lane_iota == dlane + wsel_k, v, 0)
+            out_row = out_row & uv_win      # touched & unvisited
+            cur = out_ref[pl.ds(drow, 1), :]
+            out_ref[pl.ds(drow, 1), :] = cur | out_row
+
+
 class PullSweeper:
     """Per-graph compiled sweep: frontier words -> touched words.
 
@@ -229,6 +284,34 @@ class PullSweeper:
         )
         self.sweep = jax.jit(self.pallas_fn)
 
+        fused_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(plan.num_steps,),
+            in_specs=[
+                pl.BlockSpec((8 * SUBTILES, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((8 * SUBTILES, 128), lambda i, *_: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )
+        self.pallas_fused_fn = pl.pallas_call(
+            _pull_kernel_fused,
+            grid_spec=fused_spec,
+            out_shape=jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+            interpret=interpret,
+        )
+
+    def sweep_fused_with(self, srb, drow, dlane, src_tiles, dstrel_tiles,
+                         frontier_words, unvisited_words):
+        """Traceable fused form: returns next-frontier words directly
+        (touched AND unvisited), skipping fully-visited windows."""
+        return self.pallas_fused_fn(srb, drow, dlane, src_tiles,
+                                    dstrel_tiles, frontier_words,
+                                    unvisited_words)
+
     def sweep_with(self, srb, drow, dlane, src_tiles, dstrel_tiles,
                    frontier_words):
         """Traceable form for embedding in larger jitted programs."""
@@ -254,8 +337,10 @@ def pack_bitmap(mask, n_words: int):
 
 
 def unpack_bitmap(words, n_pad: int):
-    """(rows,128) int32 -> (n_pad,) bool."""
+    """(rows,128) int32 -> (n_pad,) bool. The shift/mask/cast chain is
+    fused by XLA so only the int8 intermediate materializes (4x less
+    HBM traffic than an int32 one)."""
     flat = words.reshape(-1)
     shifts = jnp.arange(32, dtype=jnp.int32)
-    bits = (flat[:, None] >> shifts[None, :]) & 1
+    bits = ((flat[:, None] >> shifts[None, :]) & 1).astype(jnp.int8)
     return bits.reshape(-1)[:n_pad].astype(jnp.bool_)

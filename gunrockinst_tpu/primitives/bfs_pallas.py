@@ -47,6 +47,28 @@ def get_pull_sweeper(csr: CsrGraph,
     return sweeper
 
 
+_sweeper_v2_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_pull_sweeper_v2(csr: CsrGraph, interpret: Optional[bool] = None):
+    """v2 flavor-split sweeper (hub/packed tiling) — ~10x the v1 sweep
+    throughput on power-law graphs (measured 2.67 G edges/s vs 0.28 at
+    rmat s20 on v5e)."""
+    from gunrockinst_tpu.ops.pallas_advance_v2 import (PullSweeperV2,
+                                                       build_pull_plan_v2)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    hit = _sweeper_v2_cache.get(csr)
+    if hit is not None:
+        return hit
+    csc = csr.transposed()
+    plan = build_pull_plan_v2(csc.row_offsets, csc.col_indices,
+                              csr.num_nodes)
+    sweeper = PullSweeperV2(plan, interpret=interpret)
+    _sweeper_v2_cache[csr] = sweeper
+    return sweeper
+
+
 @functools.partial(jax.jit, static_argnames=("n_words",))
 def _level_update(labels, touched_words, depth, n_words: int):
     n_pad = labels.shape[0]
@@ -70,67 +92,84 @@ _fused_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def get_fused_bfs(csr: CsrGraph):
     """Whole-search BFS as ONE jitted program: `lax.while_loop` around
-    (pull sweep -> label update -> repack). Avoids the per-level host
-    dispatch latency entirely (the reference's per-iteration kernel
-    launches + D2H queue-length reads collapse into a single launch)."""
+    (v2 pull sweep -> word-space frontier update -> labels write).
+    Avoids the per-level host dispatch latency entirely (the
+    reference's per-iteration kernel launches + D2H queue-length reads
+    collapse into a single launch)."""
     hit = _fused_cache.get(csr)
     if hit is not None:
         return hit
     n = csr.num_nodes
     n_pad = ((n + 128) // 128) * 128
-    sweeper = get_pull_sweeper(csr)
+    sweeper = get_pull_sweeper_v2(csr)
     n_words = sweeper.n_words
 
-    # light-level path: LB-style sparse expansion in XLA for small
-    # frontiers (a full pull sweep costs O(m) no matter how small the
-    # frontier — the reference's light/heavy split, re-applied).
-    g = csr.to_device(with_csc=False)
-    light_cap = max(min(g.m_pad // 8, 1 << 17), 512)
+    # every level runs the v2 pull sweep: at 0.18 us/subtile the full
+    # sweep beats the old sparse light path (compact+searchsorted cost
+    # ~60 ms at s20 vs ~12 ms for the sweep) — the light/heavy split
+    # died with kernel v2. The frontier stays word-packed in the carry.
+
+    # label depths are stored as PLANES bit-plane word bitmaps so the
+    # whole level loop runs in word space (a per-level bitmap unpack
+    # cost ~25 ms at s20 — more than the sweep itself); the planes are
+    # unpacked to per-vertex labels once, after convergence.
+    PLANES = max((n + 1).bit_length(), 1)
 
     @jax.jit
-    def bfs_full_impl(src, g, srb, drow, dlane, src_tiles,
-                      dstrel_tiles):
-        from gunrockinst_tpu.ops import frontier as fr
-        from gunrockinst_tpu.ops.advance import expand_frontier
-
-        labels0 = jnp.full((n_pad,), INT_MAX, jnp.int32).at[src].set(0)
+    def bfs_full_impl(src, hub_args, pk_args):
         f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
+        fw0 = pack_bitmap(f0, n_words)
+        rows = n_words // 128
+        planes0 = jnp.zeros((PLANES, rows, 128), jnp.int32)
 
         def cond(c):
-            labels, frontier, depth, cont = c
+            planes, fw, vw, depth, cont = c
             return cont & (depth < n)
 
-        def heavy(args):
-            labels, frontier = args
-            fw = pack_bitmap(frontier, n_words)
-            tw = sweeper.sweep_with(srb, drow, dlane, src_tiles,
-                                    dstrel_tiles, fw)
-            return unpack_bitmap(tw, n_pad)
-
-        def light(args):
-            labels, frontier = args
-            ids, num = fr.compact(frontier, n_pad, g.n)
-            _, dst, _, lane_valid = expand_frontier(g, ids, num, light_cap)
-            return jnp.zeros((n_pad,), jnp.bool_).at[dst].max(lane_valid)
-
         def body(c):
-            labels, frontier, depth, _ = c
-            fe = jnp.sum(jnp.where(frontier, g.out_degree, 0))
-            touched = jax.lax.cond(fe < light_cap, light, heavy,
-                                   (labels, frontier))
-            newf = touched & (labels == INT_MAX)
-            labels = jnp.where(newf, depth + 1, labels)
-            return labels, newf, depth + 1, jnp.any(newf)
+            planes, fw, vw, depth, _ = c
+            tw = sweeper.sweep_with(hub_args, pk_args, fw)
+            nfw = tw & ~vw             # next frontier, in word space
+            vw = vw | nfw
+            d = depth + 1
+            bits = (d >> jnp.arange(PLANES, dtype=jnp.int32)) & 1
+            planes = planes | (nfw[None, :, :] * bits[:, None, None])
+            return planes, nfw, vw, d, jnp.any(nfw != 0)
 
-        labels, frontier, depth, _ = jax.lax.while_loop(
-            cond, body, (labels0, f0, jnp.int32(0), jnp.bool_(True)))
-        return labels, depth
+        planes, fw, vw, depth, _ = jax.lax.while_loop(
+            cond, body, (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
+        return planes, vw, depth
+
+    def _host_unpack_words(words_np, n):
+        """(rows,128) int32 words -> (n,) uint8 bits, on the host.
+        np.unpackbits over the little-endian byte view yields exactly
+        vertex order (bit b of word w = vertex w*32+b)."""
+        return np.unpackbits(words_np.reshape(-1).view(np.uint8),
+                             bitorder="little")[:n]
 
     def bfs_full(src):
-        return bfs_full_impl(src, g, *sweeper.tiles)
+        planes, vw, depth = bfs_full_impl(src, sweeper.hub_args,
+                                          sweeper.pk_args)
+        # final label assembly on host (device-side bit unpack pays a
+        # costly 32-minor-dim relayout; numpy does it in milliseconds);
+        # only planes up to bit_length(depth) can be nonzero
+        depth = int(depth)
+        planes_np = np.asarray(planes)
+        visited = _host_unpack_words(np.asarray(vw), n).astype(bool)
+        labels = np.zeros(n, dtype=np.int32)
+        for b in range(min(max(depth, 1).bit_length(), PLANES)):
+            labels |= _host_unpack_words(planes_np[b], n).astype(
+                np.int32) << b
+        labels[~visited] = INF32_NP
+        if 0 <= int(src) < n:
+            labels[int(src)] = 0
+        return labels, depth
 
     _fused_cache[csr] = bfs_full
     return bfs_full
+
+
+INF32_NP = np.iinfo(np.int32).max
 
 
 def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True
@@ -138,14 +177,15 @@ def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True
     n = csr.num_nodes
     n_pad = ((n + 128) // 128) * 128
     fn = get_fused_bfs(csr)
-    labels, depth = fn(src)
-    labels_np = np.asarray(labels)[:n]
+    labels_np, depth = fn(src)
     preds_np = None
     if mark_preds:
         esrc = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32),
                                      np.diff(csr.row_offsets)))
         edst = jnp.asarray(csr.col_indices.astype(np.int32))
-        preds_np = np.array(_post_preds(labels, esrc, edst, n_pad))[:n]
+        labels_pad = jnp.asarray(np.pad(labels_np, (0, n_pad - n),
+                                        constant_values=INF32_NP))
+        preds_np = np.array(_post_preds(labels_pad, esrc, edst, n_pad))[:n]
         if 0 <= src < n:
             preds_np[src] = -1
     return labels_np, preds_np, int(depth)

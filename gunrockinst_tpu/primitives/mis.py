@@ -43,9 +43,16 @@ def mis_kernel(graph: DeviceGraph, priorities):
     def body(carry):
         rounds, r = carry
         und = rounds < 0
-        cand = und[esrc] & und[edst]
-        nbmax = jnp.full((n_pad,), INT_MIN, jnp.int32).at[esrc].max(
-            jnp.where(cand, priorities[edst], INT_MIN))
+
+        # advance with neighborhood reduce (REDUCE_TYPE VERTEX, MAXIMUM
+        # — the mgpu SegReduceCsr path, mis_enactor.cuh:234-357): max
+        # undecided-neighbor priority per source vertex
+        def edge_fn(s, d, w, eid, state):
+            return und[d], priorities[d]
+
+        from gunrockinst_tpu.ops.advance import neighborhood_reduce
+        nbmax = neighborhood_reduce(graph, und, edge_fn, combine="max",
+                                    payload_dtype=jnp.int32)
         join = und & (priorities >= nbmax)
         rounds = jnp.where(join, r, rounds)
         return rounds, r + 1

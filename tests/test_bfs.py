@@ -125,3 +125,75 @@ def test_pull_plan_v2_interpret():
     ref = np.zeros(n, bool)
     np.maximum.at(ref, edst[mask_pad[:n][esrc]], True)
     np.testing.assert_array_equal(touched, ref)
+
+
+@pytest.mark.parametrize("shape", ["star_in", "star_out", "chain", "empty"])
+def test_pallas_v2_shapes_interpret(shape):
+    """Plan-builder edge cases: hub-dominated stars, chains (all lane
+    chunks), empty graphs."""
+    import jax.numpy as jnp
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.ops.pallas_advance import pack_bitmap, unpack_bitmap
+    from gunrockinst_tpu.ops.pallas_advance_v2 import (PullSweeperV2,
+                                                       build_pull_plan_v2)
+
+    n = 700
+    if shape == "star_in":       # all edges point at vertex 0 (hub dst)
+        rows = np.arange(1, n)
+        cols = np.zeros(n - 1, dtype=np.int64)
+    elif shape == "star_out":    # vertex 0 points everywhere (hub src)
+        rows = np.zeros(n - 1, dtype=np.int64)
+        cols = np.arange(1, n)
+    elif shape == "chain":
+        rows = np.arange(n - 1)
+        cols = np.arange(1, n)
+    else:
+        rows = np.zeros(0, dtype=np.int64)
+        cols = np.zeros(0, dtype=np.int64)
+    csr = CsrGraph.from_coo(CooGraph(n, np.asarray(rows), np.asarray(cols)))
+    csc = csr.transposed()
+    plan = build_pull_plan_v2(csc.row_offsets, csc.col_indices, n)
+    sw = PullSweeperV2(plan, interpret=True)
+    rng = np.random.default_rng(1)
+    n_pad = ((n + 128) // 128) * 128
+    mask_pad = np.zeros(n_pad, bool)
+    mask_pad[:n] = rng.random(n) < 0.3
+    out = sw(pack_bitmap(jnp.asarray(mask_pad), plan.n_words))
+    touched = np.asarray(unpack_bitmap(out, n_pad))[:n]
+    ref = np.zeros(n, bool)
+    if csr.num_edges:
+        esrc = np.repeat(np.arange(n), np.diff(csr.row_offsets))
+        np.maximum.at(ref, csr.col_indices[mask_pad[:n][esrc]], True)
+    np.testing.assert_array_equal(touched, ref)
+
+
+def test_pallas_v2_region_boundary_interpret():
+    """n straddling the 32768-vertex region boundary."""
+    import jax.numpy as jnp
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.ops.pallas_advance import pack_bitmap, unpack_bitmap
+    from gunrockinst_tpu.ops.pallas_advance_v2 import (PullSweeperV2,
+                                                       build_pull_plan_v2)
+    n = 32769  # crosses into a second region
+    rng = np.random.default_rng(4)
+    m = 3000
+    # bias edges to touch both regions
+    rows = np.concatenate([rng.integers(0, n, m // 2),
+                           rng.integers(32000, n, m // 2)])
+    cols = np.concatenate([rng.integers(32000, n, m // 2),
+                           rng.integers(0, n, m // 2)])
+    csr = CsrGraph.from_coo(CooGraph(n, rows, cols))
+    csc = csr.transposed()
+    plan = build_pull_plan_v2(csc.row_offsets, csc.col_indices, n)
+    sw = PullSweeperV2(plan, interpret=True)
+    n_pad = ((n + 128) // 128) * 128
+    mask_pad = np.zeros(n_pad, bool)
+    mask_pad[:n] = rng.random(n) < 0.2
+    out = sw(pack_bitmap(jnp.asarray(mask_pad), plan.n_words))
+    touched = np.asarray(unpack_bitmap(out, n_pad))[:n]
+    esrc = np.repeat(np.arange(n), np.diff(csr.row_offsets))
+    ref = np.zeros(n, bool)
+    np.maximum.at(ref, csr.col_indices[mask_pad[:n][esrc]], True)
+    np.testing.assert_array_equal(touched, ref)
