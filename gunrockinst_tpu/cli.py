@@ -121,8 +121,9 @@ def main(argv=None) -> int:
 
     elif prim == "pr":
         from gunrockinst_tpu.primitives import pr as m
+        pr_mode = "pallas" if args.traversal_mode == "pallas" else "xla"
         res = m.run(csr, delta=args.delta, threshold=args.error,
-                    max_iter=args.max_iter)
+                    max_iter=args.max_iter, mode=pr_mode)
         res.stats.display(prim)
         _display(prim, res.node_ids[: args.top_nodes],
                  res.sorted_ranks[: args.top_nodes])

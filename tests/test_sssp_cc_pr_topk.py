@@ -119,3 +119,24 @@ def test_topk_directed(small_random):
 def test_topk_k_larger_than_n(chesapeake):
     res = topk.run(chesapeake, 1000)
     assert len(res.node_ids) == chesapeake.num_nodes
+
+
+def test_pr_pallas_mode_interpret(chesapeake):
+    """PR via the pallas pull-SpMV (interpret on CPU) vs oracle."""
+    res = pr.run(chesapeake, mode="pallas")
+    ref = pagerank_reference(chesapeake)
+    np.testing.assert_allclose(res.ranks, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pr_pallas_matches_xla(small_random):
+    a = pr.run(small_random, mode="pallas")
+    b = pr.run(small_random)
+    np.testing.assert_allclose(a.ranks, b.ranks, rtol=1e-5, atol=1e-6)
+    ref = pagerank_reference(small_random)
+    np.testing.assert_allclose(a.ranks, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_pr_pallas_personalized(chesapeake):
+    res = pr.run(chesapeake, mode="pallas", src=3)
+    ref = pagerank_reference(chesapeake, src=3)
+    np.testing.assert_allclose(res.ranks, ref, rtol=1e-4, atol=1e-5)
