@@ -38,8 +38,10 @@ def main():
           f"{csr.num_nodes} nodes, {csr.num_edges} edges "
           f"(build {time.time()-t0:.1f}s)", file=sys.stderr)
 
-    g = DeviceGraph.build(csr, with_csc=False)
     src = int(np.argmax(csr.degrees))  # largest-degree source (ref flag)
+    modes = os.environ.get("BENCH_MODES", "mega,pallas").split(",")
+    g = (DeviceGraph.build(csr, with_csc=False)
+         if any(m not in ("pallas", "mega") for m in modes) else None)
 
     # persistent compile cache: the fused pallas BFS takes minutes to
     # compile cold; cache survives across bench runs
@@ -51,9 +53,14 @@ def main():
         pass
 
     best = None
-    for mode in ("pallas", "auto"):
-        target = csr if mode == "pallas" else g
-        res = bfs.run(target, src, mark_preds=False, traversal_mode=mode)
+    for mode in modes:
+        target = csr if mode in ("pallas", "mega") else g
+        try:
+            res = bfs.run(target, src, mark_preds=False,
+                          traversal_mode=mode)
+        except Exception as e:
+            print(f"# mode={mode} FAILED: {e}", file=sys.stderr)
+            continue
         for _ in range(N_RUNS - 1):
             r2 = bfs.run(target, src, mark_preds=False, traversal_mode=mode)
             if r2.stats.elapsed_ms < res.stats.elapsed_ms:
@@ -70,7 +77,7 @@ def main():
     if os.environ.get("BENCH_PR", "1") == "1":
         try:
             from gunrockinst_tpu.primitives import pr
-            res = pr.run(g, max_iter=5)
+            res = pr.run(csr, max_iter=5, mode="pallas")
             edges_proc = csr.num_edges * res.stats.search_depth
             rate = edges_proc / (res.stats.elapsed_ms * 1e6)
             print(f"# pagerank: {res.stats.elapsed_ms:.1f} ms for "

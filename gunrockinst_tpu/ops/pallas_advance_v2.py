@@ -45,9 +45,15 @@ SHIFT_BITS = 26                          # dst%32 packed at bits 26..30
 SRC_MASK = (1 << SHIFT_BITS) - 1
 LANES_USED = 120                         # lanes 120..127 reserved zero
 BLOCKS = LANES_USED // 8                 # 15 assignable 8-blocks
-SUBTILES = 4                             # subtiles per grid step
-                                         # (amortizes the ~1.6us/step
-                                         # pallas pipeline floor)
+SUBTILES = 4                             # default subtiles per grid step.
+                                         # MEASURED optimum on v5e: 4 →
+                                         # 2.67 G edge/s (≈the 1.6us/step
+                                         # pipeline floor); 16 → 1.9 G
+                                         # (unroll hits scheduling/regalloc
+                                         # limits, like v1 at 8). Tunable:
+                                         # build_pull_plan_v2(subtiles=).
+                                         # The mega kernel (pallas_mega.py)
+                                         # sidesteps the floor entirely.
 
 
 def _cdiv(a, b):
@@ -72,6 +78,7 @@ class PullPlanV2:
                                 # placement gather, row 1 = lane-
                                 # placement gather, rows 2-7 padding
                                 # (TPU blocks need 8-row alignment)
+    subtiles: int = SUBTILES    # subtiles per grid step
 
     @property
     def num_hub(self) -> int:
@@ -83,9 +90,11 @@ class PullPlanV2:
 
 
 def build_pull_plan_v2(adj_row_offsets: np.ndarray,
-                       adj_col_indices: np.ndarray, n: int) -> PullPlanV2:
+                       adj_col_indices: np.ndarray, n: int,
+                       subtiles: int = SUBTILES) -> PullPlanV2:
     """Build hub/packed tile sets from the pull-direction adjacency
     (pass the CSC: rows = destination, cols = source)."""
+    SUBTILES = subtiles  # shadow module default (plan-local batch size)
     m = int(adj_col_indices.shape[0])
     dst = np.repeat(np.arange(n, dtype=np.int64),
                     np.diff(adj_row_offsets)).astype(np.int64)
@@ -244,6 +253,7 @@ def build_pull_plan_v2(adj_row_offsets: np.ndarray,
         pk_tiles=pk_tiles.astype(np.int32),
         pk_row_base=pk_row_base, pk_out_row=pk_out_row.astype(np.int32),
         pk_idx=pk_idx,
+        subtiles=subtiles,
     )
 
 
@@ -260,7 +270,7 @@ def _gather_active(src, row_base, words_ref):
 
 
 def _hub_kernel(row_base_ref, out_row_ref, out_lane_ref,
-                tile_ref, words_ref, out_ref):
+                tile_ref, words_ref, out_ref, *, subtiles: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -268,8 +278,8 @@ def _hub_kernel(row_base_ref, out_row_ref, out_lane_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    for k in range(SUBTILES):
-        t = i * SUBTILES + k
+    for k in range(subtiles):
+        t = i * subtiles + k
         packed = tile_ref[8 * k: 8 * (k + 1), :]
         src = packed & SRC_MASK
         shift = packed >> SHIFT_BITS
@@ -286,15 +296,15 @@ def _hub_kernel(row_base_ref, out_row_ref, out_lane_ref,
 
 
 def _packed_kernel(row_base_ref, out_row_ref, tile_ref, idx_ref,
-                   words_ref, out_ref):
+                   words_ref, out_ref, *, subtiles: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for k in range(SUBTILES):
-        t = i * SUBTILES + k
+    for k in range(subtiles):
+        t = i * subtiles + k
         packed = tile_ref[8 * k: 8 * (k + 1), :]
         src = packed & SRC_MASK
         shift = packed >> SHIFT_BITS
@@ -328,6 +338,7 @@ class PullSweeperV2:
         self.n_words = plan.n_words
         rows = plan.n_words // 128
         self.rows = rows
+        SUBTILES = plan.subtiles  # shadow module default
 
         self.hub_args = (
             jax.device_put(plan.hub_row_base),
@@ -347,7 +358,7 @@ class PullSweeperV2:
         self.hub_fn = None
         if plan.num_hub:
             self.hub_fn = pl.pallas_call(
-                _hub_kernel,
+                functools.partial(_hub_kernel, subtiles=SUBTILES),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=3,
                     grid=(plan.num_hub // SUBTILES,),
@@ -363,7 +374,7 @@ class PullSweeperV2:
         self.pk_fn = None
         if plan.num_packed:
             self.pk_fn = pl.pallas_call(
-                _packed_kernel,
+                functools.partial(_packed_kernel, subtiles=SUBTILES),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2,
                     grid=(plan.num_packed // SUBTILES,),

@@ -1,0 +1,339 @@
+"""Mega-kernel BFS — the ENTIRE search in one pallas call.
+
+The v2 sweeper (pallas_advance_v2.py) is grid-step-bound: at 4
+subtiles per ~1.6us pipeline step the sweep tops out near 2.6 G
+edge/s no matter how cheap the per-edge math is, and every level pays
+a full O(m) sweep. This kernel removes both costs:
+
+  * grid=(1,): the level loop (`lax.while_loop`) runs INSIDE the
+    kernel; edge tiles stream HBM->VMEM via explicit double-buffered
+    `make_async_copy` chunks (C subtiles = C KiB per DMA), so there is
+    no per-step pipeline floor at all.
+  * frontier / visited / next bitmaps and the bit-plane label words
+    live in VMEM scratch across the whole search — zero HBM traffic
+    for state between levels.
+  * source-region skipping: a region (32K source vertices, 8 frontier
+    word-rows) whose frontier slice is all-zero contributes nothing to
+    a pull sweep, so its subtiles are neither DMA'd nor computed that
+    level. Pull-OR is monotone + idempotent, which makes chunk
+    OVERSHOOT correct: chunk loops round up to whole C-subtile chunks
+    and spill into the next region's subtiles without masking (their
+    metadata is absolute, their contribution is valid level-d work).
+
+Tile placement (hub / packed flavors), the packed-word bitmap gather
+tree, and the `src | (dst%32)<<26` edge encoding are shared with the
+v2 design — see pallas_advance_v2.py. Reference parity: this is the
+TPU re-expression of the reference's fused BFS hot loop
+(gunrock/app/bfs/bfs_enactor.cuh:267-556 — advance+filter until the
+device `done` flag flips; here the done flag is the in-VMEM frontier
+emptiness test, and the filter's visited-bitmask cull is the
+`new = touched & ~visited` word op).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gunrockinst_tpu.ops.pallas_advance_v2 import (
+    REGION, ROWS_PER_REGION, SHIFT_BITS, SRC_MASK, build_pull_plan_v2)
+
+CHUNK = 64          # subtiles per DMA chunk (64 KiB edges)
+UNROLL = 4          # subtiles per loop iteration (ILP)
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+@dataclasses.dataclass
+class MegaPlan:
+    n: int
+    m: int
+    n_words: int
+    num_regions: int
+    planes: int
+    hub_tiles: np.ndarray       # ((Th+pad)*8, 128) int32
+    hub_row_base: np.ndarray    # (Th+pad,) int32
+    hub_out_row: np.ndarray
+    hub_out_lane: np.ndarray
+    hub_rs: np.ndarray          # (R+1,) int32 region->subtile range
+    pk_tiles: np.ndarray
+    pk_row_base: np.ndarray
+    pk_out_row: np.ndarray
+    pk_idx: np.ndarray
+    pk_rs: np.ndarray
+
+
+def build_mega_plan(adj_row_offsets: np.ndarray,
+                    adj_col_indices: np.ndarray, n: int) -> MegaPlan:
+    """Region-ranged tile plan: v2 placement with subtiles=1 (no grid
+    padding), plus per-region subtile ranges and CHUNK*UNROLL dummy
+    tail padding so chunk overshoot stays in-bounds."""
+    plan = build_pull_plan_v2(adj_row_offsets, adj_col_indices, n,
+                              subtiles=1)
+    R = plan.n_words // (ROWS_PER_REGION * 128)
+    pad = CHUNK  # >= any chunk overshoot
+
+    def region_ranges(row_base, count):
+        # row_base = region * ROWS_PER_REGION, sorted ascending
+        regions = row_base // ROWS_PER_REGION
+        rs = np.searchsorted(regions, np.arange(R + 1)).astype(np.int32)
+        assert rs[-1] == count
+        return rs
+
+    def pad_meta(a, value, k):
+        return np.concatenate([a, np.full(k, value, a.dtype)])
+
+    hub_rs = region_ranges(plan.hub_row_base, plan.num_hub)
+    pk_rs = region_ranges(plan.pk_row_base, plan.num_packed)
+
+    dummy = np.int32(n)  # frontier bit of vertex n is never set
+    hub_tiles = np.concatenate(
+        [plan.hub_tiles, np.full((pad * 8, 128), dummy, np.int32)])
+    pk_tiles = np.concatenate(
+        [plan.pk_tiles, np.full((pad * 8, 128), dummy, np.int32)])
+    pk_idx_pad = np.full((pad * 8, 128), 127, np.int32)
+    pk_idx_pad[0::8, :] = 120  # row 0 of each subtile = group gather
+    pk_idx = np.concatenate([plan.pk_idx, pk_idx_pad])
+
+    return MegaPlan(
+        n=n, m=plan.m, n_words=plan.n_words, num_regions=R,
+        planes=max((n + 1).bit_length(), 1),
+        hub_tiles=hub_tiles,
+        hub_row_base=pad_meta(plan.hub_row_base, 0, pad),
+        hub_out_row=pad_meta(plan.hub_out_row, 0, pad),
+        hub_out_lane=pad_meta(plan.hub_out_lane, 0, pad),
+        hub_rs=hub_rs,
+        pk_tiles=pk_tiles,
+        pk_row_base=pad_meta(plan.pk_row_base, 0, pad),
+        pk_out_row=pad_meta(plan.pk_out_row, 0, pad),
+        pk_idx=pk_idx,
+        pk_rs=pk_rs,
+    )
+
+
+def _gather_active(src, row_base, fr_ref):
+    """8-row region select tree -> per-edge frontier bit (see
+    pallas_advance_v2._gather_active; reads the in-VMEM frontier)."""
+    widx = src >> 5
+    lane = widx & 127
+    rel = (widx >> 7) - row_base
+    g = jnp.zeros((8, 128), jnp.int32)
+    for r in range(ROWS_PER_REGION):
+        rw = jnp.broadcast_to(fr_ref[pl.ds(row_base + r, 1), :], (8, 128))
+        g = jnp.where(rel == r, jnp.take_along_axis(rw, lane, axis=1), g)
+    return (g >> (src & 31)) & 1
+
+
+def _hub_subtile(t, buf_ref, k, hrb, hor, hol, fr_ref, nx_ref, lane_iota):
+    packed = buf_ref[pl.ds(8 * k, 8), :]
+    src = packed & SRC_MASK
+    shift = packed >> SHIFT_BITS
+    active = _gather_active(src, hrb[t], fr_ref)
+    bitval = active << shift
+    v = bitval[0:4, :] | bitval[4:8, :]
+    v = v[0:2, :] | v[2:4, :]
+    v = v[0:1, :] | v[1:2, :]
+    for sh in (64, 32, 16, 8, 4, 2, 1):
+        v = v | pltpu.roll(v, sh, axis=1)
+    placed = jnp.where(lane_iota == hol[t], v, 0)
+    r = hor[t]
+    nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
+
+
+def _pk_subtile(t, buf_ref, idx_ref, k, prb, por, fr_ref, nx_ref):
+    packed = buf_ref[pl.ds(8 * k, 8), :]
+    src = packed & SRC_MASK
+    shift = packed >> SHIFT_BITS
+    active = _gather_active(src, prb[t], fr_ref)
+    bitval = active << shift
+    red8 = bitval[0:4, :] | bitval[4:8, :]
+    red8 = red8[0:2, :] | red8[2:4, :]
+    red8 = red8[0:1, :] | red8[1:2, :]
+    redg = red8
+    for sh in (1, 2, 4):
+        redg = redg | pltpu.roll(redg, 128 - sh, axis=1)
+    idx = idx_ref[pl.ds(8 * k, 8), :]
+    gsel = jnp.take_along_axis(jnp.broadcast_to(redg, (8, 128)), idx, axis=1)
+    lsel = jnp.take_along_axis(jnp.broadcast_to(red8, (8, 128)), idx, axis=1)
+    placed = gsel[0:1, :] | lsel[1:2, :]
+    r = por[t]
+    nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
+
+
+def _make_kernel(R: int, rows: int, planes: int):
+    """R regions, `rows` frontier word-rows, `planes` label bit-planes."""
+
+    def kernel(src_ref, hrb, hor, hol, hrs, prb, por, prs,     # scalars
+               hub_hbm, pk_hbm, pkidx_hbm,                     # HBM
+               planes_ref, visited_ref, depth_ref,             # outputs
+               fr_ref, nx_ref, hbuf, pbuf, pibuf, sems):       # scratch
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        # --- init: frontier = {src}
+        fr_ref[:] = jnp.zeros_like(fr_ref)
+        s = src_ref[0]
+        srow = s >> 12                       # word row (128 words/row)
+        slane = (s >> 5) & 127
+        fr_ref[pl.ds(srow, 1), :] = jnp.where(
+            lane_iota == slane, jnp.int32(1) << (s & 31), 0)
+        visited_ref[:] = fr_ref[:]
+        planes_ref[:] = jnp.zeros_like(planes_ref)
+
+        def hub_chunk(c, start):
+            base = start + c * CHUNK
+            dma = pltpu.make_async_copy(
+                hub_hbm.at[pl.ds(base * 8, CHUNK * 8), :],
+                hbuf.at[0], sems.at[0])
+            dma.start()
+            dma.wait()
+
+            def sub(j, _):
+                for u in range(UNROLL):
+                    k = j * UNROLL + u
+                    _hub_subtile(base + k, hbuf.at[0], k, hrb, hor, hol,
+                                 fr_ref, nx_ref, lane_iota)
+                return 0
+            jax.lax.fori_loop(0, CHUNK // UNROLL, sub, 0)
+            return start
+
+        def pk_chunk(c, start):
+            base = start + c * CHUNK
+            dma = pltpu.make_async_copy(
+                pk_hbm.at[pl.ds(base * 8, CHUNK * 8), :],
+                pbuf.at[0], sems.at[1])
+            dma2 = pltpu.make_async_copy(
+                pkidx_hbm.at[pl.ds(base * 8, CHUNK * 8), :],
+                pibuf.at[0], sems.at[2])
+            dma.start()
+            dma2.start()
+            dma.wait()
+            dma2.wait()
+
+            def sub(j, _):
+                for u in range(UNROLL):
+                    k = j * UNROLL + u
+                    _pk_subtile(base + k, pbuf.at[0], pibuf.at[0], k,
+                                prb, por, fr_ref, nx_ref)
+                return 0
+            jax.lax.fori_loop(0, CHUNK // UNROLL, sub, 0)
+            return start
+
+        def region(r, _):
+            reg_any = jnp.any(fr_ref[pl.ds(r * ROWS_PER_REGION,
+                                           ROWS_PER_REGION), :] != 0)
+
+            @pl.when(reg_any)
+            def _():
+                # chunk counts round up; overshoot into the next
+                # region is valid level work (monotone OR), and the
+                # CHUNK-subtile dummy tail keeps the last DMA in-bounds
+                hs, he = hrs[r], hrs[r + 1]
+                jax.lax.fori_loop(0, (he - hs + CHUNK - 1) // CHUNK,
+                                  hub_chunk, hs)
+                ps, pe = prs[r], prs[r + 1]
+                jax.lax.fori_loop(0, (pe - ps + CHUNK - 1) // CHUNK,
+                                  pk_chunk, ps)
+            return 0
+
+        def cond(carry):
+            depth, cont = carry
+            return cont
+
+        def body(carry):
+            depth, _ = carry
+            nx_ref[:] = jnp.zeros_like(nx_ref)
+            jax.lax.fori_loop(0, R, region, 0)
+            new = nx_ref[:] & ~visited_ref[:]
+            visited_ref[:] = visited_ref[:] | new
+            d = depth + 1
+            for b in range(planes):
+                @pl.when(((d >> b) & 1) == 1)
+                def _():
+                    planes_ref[pl.ds(b * rows, rows), :] = (
+                        planes_ref[pl.ds(b * rows, rows), :] | new)
+            fr_ref[:] = new
+            return d, jnp.any(new != 0)
+
+        depth, _ = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), jnp.bool_(True)))
+        depth_ref[0, 0] = depth
+
+    return kernel
+
+
+class MegaBfs:
+    """Whole-search BFS kernel wrapper. __call__(src) -> (bit-plane
+    label words, visited words, depth)."""
+
+    def __init__(self, plan: MegaPlan, interpret: bool = False):
+        self.plan = plan
+        R = plan.num_regions
+        rows = plan.n_words // 128
+        self.rows = rows
+
+        self.scalar_args = (
+            jax.device_put(plan.hub_row_base),
+            jax.device_put(plan.hub_out_row),
+            jax.device_put(plan.hub_out_lane),
+            jax.device_put(plan.hub_rs),
+            jax.device_put(plan.pk_row_base),
+            jax.device_put(plan.pk_out_row),
+            jax.device_put(plan.pk_rs),
+        )
+        self.hbm_args = (
+            jax.device_put(plan.hub_tiles),
+            jax.device_put(plan.pk_tiles),
+            jax.device_put(plan.pk_idx),
+        )
+
+        kernel = _make_kernel(R, rows, plan.planes)
+        self.fn = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=8,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((rows, 128), jnp.int32),   # frontier
+                    pltpu.VMEM((rows, 128), jnp.int32),   # next
+                    pltpu.VMEM((1, CHUNK * 8, 128), jnp.int32),
+                    pltpu.VMEM((1, CHUNK * 8, 128), jnp.int32),
+                    pltpu.VMEM((1, CHUNK * 8, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3,)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((plan.planes * rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )
+        self._jit = jax.jit(
+            lambda src, scal, hbm: self.fn(src, *scal, *hbm))
+
+    def __call__(self, src: int):
+        src_arr = jnp.asarray([src], jnp.int32)
+        planes, visited, depth = self._jit(src_arr, self.scalar_args,
+                                           self.hbm_args)
+        return planes, visited, depth

@@ -24,6 +24,7 @@ scatter-add path. Used by primitives/pr.py `mode="pallas"`.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -40,7 +41,9 @@ HUB_T = 512
 SHIFT_BITS = 26                      # (unused bits reserved; src fits)
 LANES_USED = 120
 BLOCKS = LANES_USED // 8             # 15
-SUBTILES = 4
+SUBTILES = 4     # default; tunable per plan (build_spmv_plan(subtiles=)).
+                 # 4 = measured optimum on v5e for the v2-style unroll
+                 # (bigger unrolls hit scheduling/regalloc limits)
 
 
 def _cdiv(a, b):
@@ -63,6 +66,7 @@ class SpmvPlan:
     pk_row_base: np.ndarray       # (Tp,) int32
     pk_out_row: np.ndarray        # (Tp,) int32
     pk_idx: np.ndarray            # (Tp*8, 128) rows 0/1 = group/lane idx
+    subtiles: int = 16            # subtiles per grid step
 
     @property
     def num_hub(self):
@@ -73,9 +77,11 @@ class SpmvPlan:
         return self.pk_row_base.shape[0]
 
 
-def build_spmv_plan(adj_row_offsets, adj_col_indices, n: int) -> SpmvPlan:
+def build_spmv_plan(adj_row_offsets, adj_col_indices, n: int,
+                    subtiles: int = SUBTILES) -> SpmvPlan:
     """Build from the pull-direction adjacency (CSC: row = dst,
     col = src)."""
+    SUBTILES = subtiles  # shadow module default (plan-local batch size)
     m = int(adj_col_indices.shape[0])
     dst = np.repeat(np.arange(n, dtype=np.int64),
                     np.diff(adj_row_offsets)).astype(np.int64)
@@ -206,6 +212,7 @@ def build_spmv_plan(adj_row_offsets, adj_col_indices, n: int) -> SpmvPlan:
         hub_out_lane=hub_out_lane.astype(np.int32),
         pk_tiles=pk_tiles.astype(np.int32), pk_row_base=pk_row_base,
         pk_out_row=pk_out_row.astype(np.int32), pk_idx=pk_idx,
+        subtiles=subtiles,
     )
 
 
@@ -250,7 +257,7 @@ def _gather_f32(src, row_base, planes_ref):
 
 
 def _hub_kernel(row_base_ref, out_row_ref, out_lane_ref,
-                tile_ref, planes_ref, out_ref):
+                tile_ref, planes_ref, out_ref, *, subtiles: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -258,8 +265,8 @@ def _hub_kernel(row_base_ref, out_row_ref, out_lane_ref,
         out_ref[:] = jnp.zeros_like(out_ref)
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
-    for k in range(SUBTILES):
-        t = i * SUBTILES + k
+    for k in range(subtiles):
+        t = i * subtiles + k
         src = tile_ref[8 * k: 8 * (k + 1), :]
         vals = _gather_f32(src, row_base_ref[t], planes_ref)
         v = vals[0:4, :] + vals[4:8, :]
@@ -273,15 +280,15 @@ def _hub_kernel(row_base_ref, out_row_ref, out_lane_ref,
 
 
 def _packed_kernel(row_base_ref, out_row_ref, tile_ref, idx_ref,
-                   planes_ref, out_ref):
+                   planes_ref, out_ref, *, subtiles: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    for k in range(SUBTILES):
-        t = i * SUBTILES + k
+    for k in range(subtiles):
+        t = i * subtiles + k
         src = tile_ref[8 * k: 8 * (k + 1), :]
         vals = _gather_f32(src, row_base_ref[t], planes_ref)
         red8 = vals[0:4, :] + vals[4:8, :]
@@ -306,6 +313,7 @@ class SpmvSweeper:
     def __init__(self, plan: SpmvPlan, interpret: bool = False):
         self.plan = plan
         self.num_regions = plan.num_regions
+        SUBTILES = plan.subtiles  # shadow module default
         out_shape = jax.ShapeDtypeStruct((plan.out_rows, 128), jnp.float32)
 
         self.hub_args = (
@@ -324,7 +332,7 @@ class SpmvSweeper:
         self.hub_fn = None
         if plan.num_hub:
             self.hub_fn = pl.pallas_call(
-                _hub_kernel,
+                functools.partial(_hub_kernel, subtiles=SUBTILES),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=3,
                     grid=(plan.num_hub // SUBTILES,),
@@ -339,7 +347,7 @@ class SpmvSweeper:
         self.pk_fn = None
         if plan.num_packed:
             self.pk_fn = pl.pallas_call(
-                _packed_kernel,
+                functools.partial(_packed_kernel, subtiles=SUBTILES),
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2,
                     grid=(plan.num_packed // SUBTILES,),

@@ -176,26 +176,33 @@ def run(graph: GraphLike, src: int, mark_preds: bool = True,
         traversal_mode: str = "dense",
         max_depth: Optional[int] = None) -> BfsResult:
     """Host entry (run_bfs analog, app/bfs/bfs_app.cu:241)."""
-    if traversal_mode == "pallas":
+    if traversal_mode in ("pallas", "mega"):
         from gunrockinst_tpu.graph.csr import CsrGraph
         from gunrockinst_tpu.primitives.bfs_pallas import bfs_pallas_fused
         if not isinstance(graph, CsrGraph):
-            raise TypeError("traversal_mode='pallas' needs a host CsrGraph "
-                            "(the pull plan is built from it)")
+            raise TypeError(f"traversal_mode='{traversal_mode}' needs a "
+                            "host CsrGraph (the pull plan is built from it)")
         if not (0 <= src < graph.num_nodes):
             raise ValueError(f"source vertex {src} out of range "
                              f"[0, {graph.num_nodes})")
-        out = bfs_pallas_fused(graph, src, mark_preds=False)  # warm-up
-        with Timer() as t:  # timed: traversal only (reference convention)
-            labels_np, _, depth = bfs_pallas_fused(
-                graph, src, mark_preds=False)
+        # "mega" = whole search in one kernel; "pallas" = per-level v2
+        # sweeps fused in a lax.while_loop
+        variant = "mega" if traversal_mode == "mega" else "fused"
+        out = bfs_pallas_fused(graph, src, mark_preds=False,
+                               variant=variant)  # warm-up
+        # timed: device traversal only (reference times Enact(); Extract
+        # runs outside the GpuTimer, tests/bfs/test_bfs.cu:402-431)
+        labels_np, _, depth, device_ms = bfs_pallas_fused(
+            graph, src, mark_preds=False, variant=variant)
         preds_np = None
         if mark_preds:
-            _, preds_np, _ = bfs_pallas_fused(graph, src, mark_preds=True)
+            _, preds_np, _, _ = bfs_pallas_fused(graph, src,
+                                                 mark_preds=True,
+                                                 variant=variant)
         visited = labels_np != INF32
         deg = np.diff(graph.row_offsets)
         stats = Stats(
-            elapsed_ms=t.elapsed_ms,
+            elapsed_ms=device_ms,
             search_depth=(int(labels_np[visited].max())
                           if visited.any() else 0),
             nodes_visited=int(visited.sum()),

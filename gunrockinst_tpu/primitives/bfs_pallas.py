@@ -148,12 +148,20 @@ def get_fused_bfs(csr: CsrGraph):
                              bitorder="little")[:n]
 
     def bfs_full(src):
+        import time as _time
+        t0 = _time.perf_counter()
         planes, vw, depth = bfs_full_impl(src, sweeper.hub_args,
                                           sweeper.pk_args)
+        # scalar fetch forces the whole while_loop to complete (axon
+        # block_until_ready returns early; see primitives/base.py::sync)
+        depth = int(depth)
+        device_ms = (_time.perf_counter() - t0) * 1e3
         # final label assembly on host (device-side bit unpack pays a
         # costly 32-minor-dim relayout; numpy does it in milliseconds);
         # only planes up to bit_length(depth) can be nonzero
-        depth = int(depth)
+        # -- extraction, outside the Enact timing window (the reference
+        # times Enact() only; Extract runs after the GpuTimer stops,
+        # tests/bfs/test_bfs.cu:402-431)
         planes_np = np.asarray(planes)
         visited = _host_unpack_words(np.asarray(vw), n).astype(bool)
         labels = np.zeros(n, dtype=np.int32)
@@ -163,7 +171,7 @@ def get_fused_bfs(csr: CsrGraph):
         labels[~visited] = INF32_NP
         if 0 <= int(src) < n:
             labels[int(src)] = 0
-        return labels, depth
+        return labels, depth, device_ms
 
     _fused_cache[csr] = bfs_full
     return bfs_full
@@ -172,12 +180,60 @@ def get_fused_bfs(csr: CsrGraph):
 INF32_NP = np.iinfo(np.int32).max
 
 
-def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True
-                     ) -> Tuple[np.ndarray, Optional[np.ndarray], int]:
+_mega_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_mega_bfs(csr: CsrGraph):
+    """Whole-search mega-kernel BFS (ops/pallas_mega.py): ONE pallas
+    call runs the entire level loop in-kernel with manual HBM->VMEM
+    edge streaming and source-region frontier skipping. Same contract
+    as get_fused_bfs: fn(src) -> (labels, depth, device_ms)."""
+    hit = _mega_cache.get(csr)
+    if hit is not None:
+        return hit
+    from gunrockinst_tpu.ops.pallas_mega import MegaBfs, build_mega_plan
+    n = csr.num_nodes
+    csc = csr.transposed()
+    plan = build_mega_plan(csc.row_offsets, csc.col_indices, n)
+    mb = MegaBfs(plan, interpret=jax.default_backend() == "cpu")
+    rows = plan.n_words // 128
+
+    def _unpack(words_np):
+        return np.unpackbits(words_np.reshape(-1).view(np.uint8),
+                             bitorder="little")[:n]
+
+    def bfs_full(src):
+        import time as _time
+        t0 = _time.perf_counter()
+        planes, vw, depth = mb(int(src))
+        depth = int(np.asarray(depth)[0, 0])   # scalar fetch = sync
+        device_ms = (_time.perf_counter() - t0) * 1e3
+        # extraction (outside the Enact timing window, like the
+        # reference's problem->Extract)
+        planes_np = np.asarray(planes)
+        visited = _unpack(np.asarray(vw)).astype(bool)
+        labels = np.zeros(n, dtype=np.int32)
+        for b in range(min(max(depth, 1).bit_length(), plan.planes)):
+            labels |= _unpack(planes_np[b * rows:(b + 1) * rows]).astype(
+                np.int32) << b
+        labels[~visited] = INF32_NP
+        if 0 <= int(src) < n:
+            labels[int(src)] = 0
+        return labels, depth, device_ms
+
+    _mega_cache[csr] = bfs_full
+    return bfs_full
+
+
+def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True,
+                     variant: str = "mega"
+                     ) -> Tuple[np.ndarray, Optional[np.ndarray], int, float]:
+    """Returns (labels, preds|None, depth, device_ms) — device_ms is
+    the Enact-equivalent traversal time (extraction excluded)."""
     n = csr.num_nodes
     n_pad = ((n + 128) // 128) * 128
-    fn = get_fused_bfs(csr)
-    labels_np, depth = fn(src)
+    fn = get_mega_bfs(csr) if variant == "mega" else get_fused_bfs(csr)
+    labels_np, depth, device_ms = fn(src)
     preds_np = None
     if mark_preds:
         esrc = jnp.asarray(np.repeat(np.arange(n, dtype=np.int32),
@@ -188,7 +244,7 @@ def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True
         preds_np = np.array(_post_preds(labels_pad, esrc, edst, n_pad))[:n]
         if 0 <= src < n:
             preds_np[src] = -1
-    return labels_np, preds_np, int(depth)
+    return labels_np, preds_np, int(depth), device_ms
 
 
 def bfs_pallas(csr: CsrGraph, src: int, mark_preds: bool = True,

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Optional
 
 import numpy as np
@@ -145,8 +146,11 @@ def pr_pallas(csr, delta: float = 0.85, threshold: float = 0.01,
             cond, body, (rank0, active0, jnp.int32(0)))
         return rank, it
 
+    t0 = time.perf_counter()
     rank, it = run_loop(sweeper.hub_args, sweeper.pk_args, max_iter)
-    return np.asarray(rank)[:n], int(it)
+    it = int(it)   # scalar fetch: forces loop completion (axon quirk)
+    device_ms = (time.perf_counter() - t0) * 1e3
+    return np.asarray(rank)[:n], it, device_ms
 
 
 @dataclasses.dataclass
@@ -168,18 +172,18 @@ def run(graph: GraphLike, delta: float = 0.85, threshold: float = 0.01,
         from gunrockinst_tpu.graph.csr import CsrGraph
         if not isinstance(graph, CsrGraph):
             raise TypeError("mode='pallas' needs a host CsrGraph")
-        ranks_np, _ = pr_pallas(graph, delta=delta, threshold=threshold,
-                                max_iter=max_iter, src=src)  # warm-up
-        with Timer() as t:
-            ranks_np, it = pr_pallas(graph, delta=delta,
-                                     threshold=threshold,
-                                     max_iter=max_iter, src=src)
+        ranks_np, _, _ = pr_pallas(graph, delta=delta, threshold=threshold,
+                                   max_iter=max_iter, src=src)  # warm-up
+        # timed: device loop only (Enact convention; extraction excluded)
+        ranks_np, it, device_ms = pr_pallas(graph, delta=delta,
+                                            threshold=threshold,
+                                            max_iter=max_iter, src=src)
         ranks = ranks_np
         if normalize and ranks.sum() > 0:
             ranks = ranks / ranks.sum()
         n = graph.num_nodes
         order = np.lexsort((np.arange(n), -ranks))
-        stats = Stats(elapsed_ms=t.elapsed_ms, search_depth=int(it),
+        stats = Stats(elapsed_ms=device_ms, search_depth=int(it),
                       nodes_visited=n, edges_visited=graph.num_edges * int(it))
         return PrResult(ranks=ranks, node_ids=order.astype(np.int32),
                         sorted_ranks=ranks[order], stats=stats)

@@ -115,6 +115,12 @@ def run(graph: GraphLike, src: int, delta: Optional[float] = None,
     g = device_graph(graph)
     if not (0 <= src < g.n):
         raise ValueError(f"source vertex {src} out of range [0, {g.n})")
+    # negative weights: neither delta-stepping nor the reference's
+    # atomicMin relax (sssp_functor.cuh:64) terminates meaningfully on
+    # negative cycles, and the Dijkstra oracle is undefined — reject
+    # loudly instead of converging to garbage
+    if bool(jnp.any(g.edge_w < 0)):
+        raise ValueError("SSSP requires non-negative edge weights")
     if delta is None:
         # near/far split granularity: mean edge weight (the reference
         # exposes --delta-factor; auto default here)

@@ -197,3 +197,37 @@ def test_pallas_v2_region_boundary_interpret():
     ref = np.zeros(n, bool)
     np.maximum.at(ref, csr.col_indices[mask_pad[:n][esrc]], True)
     np.testing.assert_array_equal(touched, ref)
+
+
+def test_bfs_mega_interpret(chesapeake):
+    """Mega-kernel BFS (whole search in one pallas call, interpret on
+    CPU) vs oracle, labels + preds through the public run() entry."""
+    res = bfs.run(chesapeake, 0, mark_preds=True, traversal_mode="mega")
+    ref_labels, ref_preds = bfs_reference(chesapeake, 0)
+    np.testing.assert_array_equal(res.labels, ref_labels)
+    np.testing.assert_array_equal(res.preds, ref_preds)
+
+
+def test_bfs_mega_multiregion_interpret():
+    """Mega kernel across >1 source regions (n > 32768): region
+    skipping + chunk overshoot must stay exact."""
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    csr = rmat_graph(16, 2, undirected=True, seed=11)
+    for src in (0, 40000):
+        res = bfs.run(csr, src, mark_preds=False, traversal_mode="mega")
+        ref_labels, _ = bfs_reference(csr, src)
+        np.testing.assert_array_equal(res.labels, ref_labels)
+
+
+def test_bfs_mega_disconnected_and_tiny():
+    """Unreached vertices stay INF; single-vertex frontier converges."""
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    # two components: 0-1-2 chain, 3-4 pair
+    u = np.array([0, 1, 3], dtype=np.int64)
+    v = np.array([1, 2, 4], dtype=np.int64)
+    uu = np.concatenate([u, v]); vv = np.concatenate([v, u])
+    csr = CsrGraph.from_coo(CooGraph(5, uu, vv, None))
+    res = bfs.run(csr, 0, mark_preds=False, traversal_mode="mega")
+    ref_labels, _ = bfs_reference(csr, 0)
+    np.testing.assert_array_equal(res.labels, ref_labels)
