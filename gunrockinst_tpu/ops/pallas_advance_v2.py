@@ -174,24 +174,26 @@ def build_pull_plan_v2(adj_row_offsets: np.ndarray,
         if cnt - off > 0:
             chunks.append((super_key, cls, False, wl, s + off, cnt - off))
 
-    # bin chunks by (super_key, cls); within a bin-group, fill subtiles:
-    # group chunks take an 8-block; lane chunks take a lane (8 per block)
-    from collections import defaultdict
-    by_bin = defaultdict(lambda: ([], []))
+    # bin chunks by super-cell; tiles flow across conflict classes (a
+    # tile may host chunks of ANY cls as long as each word appears at
+    # most once per placement kind — idx_g[wl]/idx_l[wl] are single
+    # mappings). Binning by (super, cls) — the old scheme — opened a
+    # fresh tile run per class and left tiles ~47% full on rmat-s20;
+    # this packer reaches ~the per-supercell optimum.
+    from collections import defaultdict, deque
+    by_super = defaultdict(lambda: ([], []))
     for ch in chunks:
-        key = (ch[0], ch[1])
-        (by_bin[key][0] if ch[2] else by_bin[key][1]).append(ch)
+        (by_super[ch[0]][0] if ch[2] else by_super[ch[0]][1]).append(ch)
 
     pk_tiles_list = []
     pk_meta = []     # (row_base, out_row)
     pk_idx_g_list = []
     pk_idx_l_list = []
 
-    for (super_key, cls), (gchunks, lchunks) in sorted(
-            by_bin.items(), key=lambda kv: (kv[0][0], kv[0][1])):
+    for super_key, (gchunks, lchunks) in sorted(by_super.items()):
         reg, out_row = super_key
-        gi, li = 0, 0
-        while gi < len(gchunks) or li < len(lchunks):
+        gq, lq = deque(gchunks), deque(lchunks)
+        while gq or lq:
             tile = np.full((8, 128), dummy_packed, np.int64)
             # unused placements read zeros: group-gather from lane 120
             # (start of the reserved-empty block — its group-OR is 0;
@@ -199,28 +201,45 @@ def build_pull_plan_v2(adj_row_offsets: np.ndarray,
             # from lane 127 (raw lane, always empty).
             idx_g = np.full(128, 120, np.int32)
             idx_l = np.full(128, 127, np.int32)
+            used_g, used_l = set(), set()
+            defer = []
             block = 0
-            while block < BLOCKS and gi < len(gchunks):
-                _, _, _, wl, es, cnt = gchunks[gi]
+            while block < BLOCKS and gq:
+                ch = gq.popleft()
+                wl = ch[3]
+                if wl in used_g:     # another cls of this word: next tile
+                    defer.append(ch)
+                    continue
+                _, _, _, _, es, cnt = ch
                 lanes = slice(8 * block, 8 * block + 8)
                 vals = packed_val[es: es + cnt]
                 buf = np.full(64, dummy_packed, np.int64)
                 buf[:cnt] = vals
                 tile[:, lanes] = buf.reshape(8, 8)
                 idx_g[wl] = 8 * block
-                gi += 1
+                used_g.add(wl)
                 block += 1
+            defer.reverse()
+            gq.extendleft(defer)
+            defer = []
             # remaining blocks become lane slots
             lane_cursor = 8 * block
-            while lane_cursor < LANES_USED and li < len(lchunks):
-                _, _, _, wl, es, cnt = lchunks[li]
+            while lane_cursor < LANES_USED and lq:
+                ch = lq.popleft()
+                wl = ch[3]
+                if wl in used_l:
+                    defer.append(ch)
+                    continue
+                _, _, _, _, es, cnt = ch
                 vals = packed_val[es: es + cnt]
                 buf = np.full(8, dummy_packed, np.int64)
                 buf[:cnt] = vals
                 tile[:, lane_cursor] = buf
                 idx_l[wl] = lane_cursor
-                li += 1
                 lane_cursor += 1
+                used_l.add(wl)
+            defer.reverse()
+            lq.extendleft(defer)
             pk_tiles_list.append(tile)
             pk_meta.append((reg * ROWS_PER_REGION, out_row))
             pk_idx_g_list.append(idx_g)

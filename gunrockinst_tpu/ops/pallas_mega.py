@@ -22,7 +22,17 @@ a full O(m) sweep. This kernel removes both costs:
 
 Tile placement (hub / packed flavors), the packed-word bitmap gather
 tree, and the `src | (dst%32)<<26` edge encoding are shared with the
-v2 design — see pallas_advance_v2.py. Reference parity: this is the
+v2 design — see pallas_advance_v2.py.
+
+Measured cost anatomy on v5e (scripts/microbench_hub.py /
+microbench_floor.py, rmat-s20-shaped tiles): the pipelined v2 kernel
+is STEP-bound, not compute-bound — the empty-body pipeline floor is
+~1.1-1.7us/step at 4 subtiles/step and grows superlinearly past 8
+(s=16: ~5.1us, s=32+: tens of us), while ALL of the subtile math
+(select-tree gather + folds + rolls + placement) adds only
+~80-100ns/subtile on top of the floor. Hence this kernel's manual
+DMA streaming: the pipelined ceiling is ~4-5 G edge/s regardless of
+math; beating it requires owning the DMA schedule. Reference parity: this is the
 TPU re-expression of the reference's fused BFS hot loop
 (gunrock/app/bfs/bfs_enactor.cuh:267-556 — advance+filter until the
 device `done` flag flips; here the done flag is the in-VMEM frontier
@@ -47,8 +57,9 @@ from jax.experimental.pallas import tpu as pltpu
 from gunrockinst_tpu.ops.pallas_advance_v2 import (
     REGION, ROWS_PER_REGION, SHIFT_BITS, SRC_MASK, build_pull_plan_v2)
 
-CHUNK = 64          # subtiles per DMA chunk (64 KiB edges)
-UNROLL = 4          # subtiles per loop iteration (ILP)
+CHUNK = 128         # subtiles per DMA chunk (512 KiB edges)
+UNROLL = 8          # subtiles per loop iteration (ILP)
+GROUPS = CHUNK // UNROLL
 
 
 def _cdiv(a, b):
@@ -70,7 +81,8 @@ class MegaPlan:
     pk_tiles: np.ndarray
     pk_row_base: np.ndarray
     pk_out_row: np.ndarray
-    pk_idx: np.ndarray
+    pk_idx: np.ndarray          # ((Tp+pad)/2 rows, 128) int32: packed
+                                # g|l<<8|g'<<16|l'<<24 per subtile PAIR
     pk_rs: np.ndarray
 
 
@@ -95,16 +107,63 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
         return np.concatenate([a, np.full(k, value, a.dtype)])
 
     hub_rs = region_ranges(plan.hub_row_base, plan.num_hub)
-    pk_rs = region_ranges(plan.pk_row_base, plan.num_packed)
-
     dummy = np.int32(n)  # frontier bit of vertex n is never set
     hub_tiles = np.concatenate(
         [plan.hub_tiles, np.full((pad * 8, 128), dummy, np.int32)])
-    pk_tiles = np.concatenate(
-        [plan.pk_tiles, np.full((pad * 8, 128), dummy, np.int32)])
-    pk_idx_pad = np.full((pad * 8, 128), 127, np.int32)
-    pk_idx_pad[0::8, :] = 120  # row 0 of each subtile = group gather
-    pk_idx = np.concatenate([plan.pk_idx, pk_idx_pad])
+
+    # --- packed flavor: even-align every region's subtile range (the
+    # compressed idx stream pairs subtiles (2t, 2t+1); chunk bases must
+    # land on pair boundaries), then pack the two used idx rows of a
+    # pair into ONE int32 row: g | l<<8 | g'<<16 | l'<<24. The idx
+    # stream shrinks 8x (rows 2-7 of the v2 idx block were padding).
+    pk_rs0 = region_ranges(plan.pk_row_base, plan.num_packed)
+    Tp = plan.num_packed
+    tiles3 = plan.pk_tiles.reshape(Tp, 8, 128) if Tp else \
+        np.zeros((0, 8, 128), np.int32)
+    idx3 = plan.pk_idx.reshape(Tp, 8, 128) if Tp else \
+        np.zeros((0, 8, 128), np.int32)
+    dummy_tile = np.full((8, 128), dummy, np.int32)
+    dummy_idx = np.full((8, 128), 127, np.int32)
+    dummy_idx[0] = 120
+    seg_tiles, seg_idx, seg_rb, seg_or = [], [], [], []
+    pk_rs = np.zeros(R + 1, np.int32)
+    cursor = 0
+    for r in range(R):
+        lo, hi = int(pk_rs0[r]), int(pk_rs0[r + 1])
+        pk_rs[r] = cursor
+        if cursor & 1:   # start this region's range on a pair boundary
+            seg_tiles.append(dummy_tile[None])
+            seg_idx.append(dummy_idx[None])
+            seg_rb.append([0])
+            seg_or.append([0])
+            cursor += 1
+            pk_rs[r] = cursor
+        seg_tiles.append(tiles3[lo:hi])
+        seg_idx.append(idx3[lo:hi])
+        seg_rb.append(plan.pk_row_base[lo:hi])
+        seg_or.append(plan.pk_out_row[lo:hi])
+        cursor += hi - lo
+    pk_rs[R] = cursor
+    npad = pad + (cursor & 1)
+    seg_tiles.append(np.broadcast_to(dummy_tile, (npad, 8, 128)))
+    seg_idx.append(np.broadcast_to(dummy_idx, (npad, 8, 128)))
+    seg_rb.append(np.zeros(npad, np.int32))
+    seg_or.append(np.zeros(npad, np.int32))
+    pk_tiles3 = np.concatenate(seg_tiles) if seg_tiles else tiles3
+    pk_idx3 = np.concatenate(seg_idx)
+    pk_row_base = np.concatenate(
+        [np.asarray(a, np.int32) for a in seg_rb])
+    pk_out_row = np.concatenate(
+        [np.asarray(a, np.int32) for a in seg_or])
+    Tp2 = pk_tiles3.shape[0]           # even
+    g = pk_idx3[:, 0, :].astype(np.int64)   # (Tp2, 128), 0..127
+    l = pk_idx3[:, 1, :].astype(np.int64)
+    packed_idx = (g[0::2] | (l[0::2] << 8) | (g[1::2] << 16)
+                  | (l[1::2] << 24)).astype(np.int32)   # (Tp2/2, 128)
+    # pad idx rows so the last chunk's idx DMA (CHUNK/2 rows) stays
+    # in-bounds
+    packed_idx = np.concatenate(
+        [packed_idx, np.zeros((CHUNK // 2, 128), np.int32)])
 
     return MegaPlan(
         n=n, m=plan.m, n_words=plan.n_words, num_regions=R,
@@ -114,10 +173,10 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
         hub_out_row=pad_meta(plan.hub_out_row, 0, pad),
         hub_out_lane=pad_meta(plan.hub_out_lane, 0, pad),
         hub_rs=hub_rs,
-        pk_tiles=pk_tiles,
-        pk_row_base=pad_meta(plan.pk_row_base, 0, pad),
-        pk_out_row=pad_meta(plan.pk_out_row, 0, pad),
-        pk_idx=pk_idx,
+        pk_tiles=pk_tiles3.reshape(Tp2 * 8, 128),
+        pk_row_base=pk_row_base,
+        pk_out_row=pk_out_row,
+        pk_idx=packed_idx,
         pk_rs=pk_rs,
     )
 
@@ -151,7 +210,12 @@ def _hub_subtile(t, buf_ref, k, hrb, hor, hol, fr_ref, nx_ref, lane_iota):
     nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
 
-def _pk_subtile(t, buf_ref, idx_ref, k, prb, por, fr_ref, nx_ref):
+def _pk_subtile(t, buf_ref, pibuf_ref, k, parity, prb, por,
+                fr_ref, nx_ref, sub_iota):
+    """k = chunk-local subtile index; parity = k & 1 (STATIC — the
+    unroll factor is even, so parity is decided by the unroll slot).
+    The placement row holds g|l<<8|g'<<16|l'<<24 for the (even, odd)
+    subtile pair at pibuf row k//2."""
     packed = buf_ref[pl.ds(8 * k, 8), :]
     src = packed & SRC_MASK
     shift = packed >> SHIFT_BITS
@@ -163,10 +227,15 @@ def _pk_subtile(t, buf_ref, idx_ref, k, prb, por, fr_ref, nx_ref):
     redg = red8
     for sh in (1, 2, 4):
         redg = redg | pltpu.roll(redg, 128 - sh, axis=1)
-    idx = idx_ref[pl.ds(8 * k, 8), :]
-    gsel = jnp.take_along_axis(jnp.broadcast_to(redg, (8, 128)), idx, axis=1)
-    lsel = jnp.take_along_axis(jnp.broadcast_to(red8, (8, 128)), idx, axis=1)
-    placed = gsel[0:1, :] | lsel[1:2, :]
+    gl = pibuf_ref[pl.ds(k >> 1, 1), :] >> (parity * 16)
+    idx_g = gl & 0x7F
+    idx_l = (gl >> 8) & 0x7F
+    op = jnp.where(sub_iota < 4, jnp.broadcast_to(redg, (8, 128)),
+                   jnp.broadcast_to(red8, (8, 128)))
+    idx = jnp.where(sub_iota < 4, jnp.broadcast_to(idx_g, (8, 128)),
+                    jnp.broadcast_to(idx_l, (8, 128)))
+    res = jnp.take_along_axis(op, idx, axis=1)
+    placed = res[0:1, :] | res[4:5, :]
     r = por[t]
     nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
@@ -179,6 +248,7 @@ def _make_kernel(R: int, rows: int, planes: int):
                planes_ref, visited_ref, depth_ref,             # outputs
                fr_ref, nx_ref, hbuf, pbuf, pibuf, sems):       # scratch
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
 
         # --- init: frontier = {src}
         fr_ref[:] = jnp.zeros_like(fr_ref)
@@ -190,44 +260,78 @@ def _make_kernel(R: int, rows: int, planes: int):
         visited_ref[:] = fr_ref[:]
         planes_ref[:] = jnp.zeros_like(planes_ref)
 
-        def hub_chunk(c, start):
-            base = start + c * CHUNK
-            dma = pltpu.make_async_copy(
-                hub_hbm.at[pl.ds(base * 8, CHUNK * 8), :],
-                hbuf.at[0], sems.at[0])
-            dma.start()
-            dma.wait()
+        def hub_dma(start, c, slot):
+            return pltpu.make_async_copy(
+                hub_hbm.at[pl.ds((start + c * CHUNK) * 8, CHUNK * 8), :],
+                hbuf.at[slot], sems.at[slot])
 
-            def sub(j, _):
+        def pk_dma(start, c, slot):
+            return pltpu.make_async_copy(
+                pk_hbm.at[pl.ds((start + c * CHUNK) * 8, CHUNK * 8), :],
+                pbuf.at[slot], sems.at[2 + slot])
+
+        def pki_dma(start, c, slot):
+            # start is pair-aligned (even), so the packed idx rows for
+            # chunk c are exactly [start//2 + c*CHUNK/2, +CHUNK/2)
+            return pltpu.make_async_copy(
+                pkidx_hbm.at[pl.ds((start >> 1) + c * (CHUNK // 2),
+                                   CHUNK // 2), :],
+                pibuf.at[slot], sems.at[4 + slot])
+
+        def hub_region(start, nchunks):
+            """Double-buffered sweep of nchunks CHUNKs of hub subtiles:
+            one fori over UNROLL-subtile groups; DMA next chunk at each
+            chunk boundary, wait current, compute groups."""
+            @pl.when(nchunks > 0)   # a started DMA must be waited
+            def _():
+                hub_dma(start, 0, 0).start()
+
+            def body(j, _):
+                c = j // GROUPS
+                g = j - c * GROUPS
+                slot = c & 1
+
+                @pl.when(g == 0)
+                def _():
+                    @pl.when(c + 1 < nchunks)
+                    def _():
+                        hub_dma(start, c + 1, 1 - slot).start()
+                    hub_dma(start, c, slot).wait()
+
+                base = start + c * CHUNK + g * UNROLL
                 for u in range(UNROLL):
-                    k = j * UNROLL + u
-                    _hub_subtile(base + k, hbuf.at[0], k, hrb, hor, hol,
-                                 fr_ref, nx_ref, lane_iota)
+                    _hub_subtile(base + u, hbuf.at[slot], g * UNROLL + u,
+                                 hrb, hor, hol, fr_ref, nx_ref, lane_iota)
                 return 0
-            jax.lax.fori_loop(0, CHUNK // UNROLL, sub, 0)
-            return start
+            jax.lax.fori_loop(0, nchunks * GROUPS, body, 0)
 
-        def pk_chunk(c, start):
-            base = start + c * CHUNK
-            dma = pltpu.make_async_copy(
-                pk_hbm.at[pl.ds(base * 8, CHUNK * 8), :],
-                pbuf.at[0], sems.at[1])
-            dma2 = pltpu.make_async_copy(
-                pkidx_hbm.at[pl.ds(base * 8, CHUNK * 8), :],
-                pibuf.at[0], sems.at[2])
-            dma.start()
-            dma2.start()
-            dma.wait()
-            dma2.wait()
+        def pk_region(start, nchunks):
+            @pl.when(nchunks > 0)
+            def _():
+                pk_dma(start, 0, 0).start()
+                pki_dma(start, 0, 0).start()
 
-            def sub(j, _):
+            def body(j, _):
+                c = j // GROUPS
+                g = j - c * GROUPS
+                slot = c & 1
+
+                @pl.when(g == 0)
+                def _():
+                    @pl.when(c + 1 < nchunks)
+                    def _():
+                        pk_dma(start, c + 1, 1 - slot).start()
+                        pki_dma(start, c + 1, 1 - slot).start()
+                    pk_dma(start, c, slot).wait()
+                    pki_dma(start, c, slot).wait()
+
+                base = start + c * CHUNK + g * UNROLL
                 for u in range(UNROLL):
-                    k = j * UNROLL + u
-                    _pk_subtile(base + k, pbuf.at[0], pibuf.at[0], k,
-                                prb, por, fr_ref, nx_ref)
+                    _pk_subtile(base + u, pbuf.at[slot], pibuf.at[slot],
+                                g * UNROLL + u, u & 1, prb, por,
+                                fr_ref, nx_ref, sub_iota)
                 return 0
-            jax.lax.fori_loop(0, CHUNK // UNROLL, sub, 0)
-            return start
+            jax.lax.fori_loop(0, nchunks * GROUPS, body, 0)
 
         def region(r, _):
             reg_any = jnp.any(fr_ref[pl.ds(r * ROWS_PER_REGION,
@@ -239,11 +343,9 @@ def _make_kernel(R: int, rows: int, planes: int):
                 # region is valid level work (monotone OR), and the
                 # CHUNK-subtile dummy tail keeps the last DMA in-bounds
                 hs, he = hrs[r], hrs[r + 1]
-                jax.lax.fori_loop(0, (he - hs + CHUNK - 1) // CHUNK,
-                                  hub_chunk, hs)
+                hub_region(hs, (he - hs + CHUNK - 1) // CHUNK)
                 ps, pe = prs[r], prs[r + 1]
-                jax.lax.fori_loop(0, (pe - ps + CHUNK - 1) // CHUNK,
-                                  pk_chunk, ps)
+                pk_region(ps, (pe - ps + CHUNK - 1) // CHUNK)
             return 0
 
         def cond(carry):
@@ -316,10 +418,10 @@ class MegaBfs:
                 scratch_shapes=[
                     pltpu.VMEM((rows, 128), jnp.int32),   # frontier
                     pltpu.VMEM((rows, 128), jnp.int32),   # next
-                    pltpu.VMEM((1, CHUNK * 8, 128), jnp.int32),
-                    pltpu.VMEM((1, CHUNK * 8, 128), jnp.int32),
-                    pltpu.VMEM((1, CHUNK * 8, 128), jnp.int32),
-                    pltpu.SemaphoreType.DMA((3,)),
+                    pltpu.VMEM((2, CHUNK * 8, 128), jnp.int32),  # hub db
+                    pltpu.VMEM((2, CHUNK * 8, 128), jnp.int32),  # pk db
+                    pltpu.VMEM((2, CHUNK // 2, 128), jnp.int32),  # idx db
+                    pltpu.SemaphoreType.DMA((6,)),
                 ],
             ),
             out_shape=[
