@@ -1,25 +1,63 @@
 """Benchmark harness.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line on stdout: {"metric", "value", "unit",
+"vs_baseline"}.  All diagnostics go to stderr.
 
 Headline metric (BASELINE.md): BFS traversal rate in GTEPS on a
 Kronecker/R-MAT graph (soc-LiveJournal1 is not fetchable offline; the
 reference's own regression set uses kron_g500 graphs of the same
 family). vs_baseline is measured against the 5 GTEPS/host north star.
+
+The headline JSON is emitted IMMEDIATELY after the BFS modes finish so
+a driver-side timeout on the (much slower to cold-compile) secondary
+metrics can never erase the headline number.  Secondary metrics
+(PageRank, SSSP, CC rates) print to stderr afterwards, each under its
+own time budget.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
 SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
+SECONDARY_BUDGET_S = int(os.environ.get("BENCH_SECONDARY_BUDGET", "600"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
+
+
+class _Budget:
+    """SIGALRM-based time budget for secondary metrics: a cold Pallas
+    compile through the axon tunnel can take 5-20+ min; the headline
+    JSON has already been printed when these run, so on expiry we just
+    skip the rest."""
+
+    class Expired(Exception):
+        pass
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        def handler(signum, frame):
+            raise _Budget.Expired()
+        self._old = signal.signal(signal.SIGALRM, handler)
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
 
 
 def main():
@@ -29,14 +67,13 @@ def main():
     from gunrockinst_tpu.graph.rmat import rmat_graph
     from gunrockinst_tpu.graph.csr import DeviceGraph
     from gunrockinst_tpu.primitives import bfs
-    from gunrockinst_tpu.primitives.base import INF32
 
     t0 = time.time()
     csr = rmat_graph(SCALE, EDGE_FACTOR, undirected=True, seed=42,
                      cache_dir=CACHE)
-    print(f"# graph: rmat s{SCALE} ef{EDGE_FACTOR} -> "
-          f"{csr.num_nodes} nodes, {csr.num_edges} edges "
-          f"(build {time.time()-t0:.1f}s)", file=sys.stderr)
+    log(f"# graph: rmat s{SCALE} ef{EDGE_FACTOR} -> "
+        f"{csr.num_nodes} nodes, {csr.num_edges} edges "
+        f"(build {time.time()-t0:.1f}s)")
 
     src = int(np.argmax(csr.degrees))  # largest-degree source (ref flag)
     modes = os.environ.get("BENCH_MODES", "mega,pallas").split(",")
@@ -53,46 +90,90 @@ def main():
         pass
 
     best = None
+    errors = []
     for mode in modes:
         target = csr if mode in ("pallas", "mega") else g
         try:
             res = bfs.run(target, src, mark_preds=False,
                           traversal_mode=mode)
         except Exception as e:
-            print(f"# mode={mode} FAILED: {e}", file=sys.stderr)
+            errors.append(f"{mode}: {e}")
+            log(f"# mode={mode} FAILED: {e}")
             continue
         for _ in range(N_RUNS - 1):
             r2 = bfs.run(target, src, mark_preds=False, traversal_mode=mode)
             if r2.stats.elapsed_ms < res.stats.elapsed_ms:
                 res = r2
         gteps = res.stats.edges_visited / (res.stats.elapsed_ms * 1e6)
-        print(f"# mode={mode}: {res.stats.elapsed_ms:.2f} ms, "
-              f"depth {res.stats.search_depth}, "
-              f"{res.stats.edges_visited} edges, {gteps:.4f} GTEPS",
-              file=sys.stderr)
+        log(f"# mode={mode}: {res.stats.elapsed_ms:.2f} ms, "
+            f"depth {res.stats.search_depth}, "
+            f"{res.stats.edges_visited} edges, {gteps:.4f} GTEPS")
         if best is None or gteps > best:
             best = gteps
 
-    # secondary metric (stderr only): PageRank edge throughput per chip
+    # ---- headline JSON: print NOW, before any secondary metric ----
+    if best is None:
+        print(json.dumps({
+            "metric": f"BFS GTEPS rmat{SCALE} (single chip)",
+            "value": 0.0, "unit": "GTEPS", "vs_baseline": 0.0,
+            "error": "; ".join(errors)[:500],
+        }), flush=True)
+        return 1
+    print(json.dumps({
+        "metric": f"BFS GTEPS rmat{SCALE} (single chip)",
+        "value": round(best, 4),
+        "unit": "GTEPS",
+        "vs_baseline": round(best / 5.0, 4),
+    }), flush=True)
+
+    # ---- secondary metrics (stderr only, time-budgeted) ----
+    try:
+        with _Budget(SECONDARY_BUDGET_S):
+            secondary(csr)
+    except _Budget.Expired:
+        log("# secondary metrics skipped: time budget expired")
+    except Exception as e:
+        log(f"# secondary metrics failed: {e}")
+    return 0
+
+
+def secondary(csr):
+    """PageRank / SSSP / CC throughput lines (stderr)."""
+    import numpy as np
+
     if os.environ.get("BENCH_PR", "1") == "1":
         try:
             from gunrockinst_tpu.primitives import pr
             res = pr.run(csr, max_iter=5, mode="pallas")
             edges_proc = csr.num_edges * res.stats.search_depth
             rate = edges_proc / (res.stats.elapsed_ms * 1e6)
-            print(f"# pagerank: {res.stats.elapsed_ms:.1f} ms for "
-                  f"{res.stats.search_depth} iters -> {rate:.4f} G edge-"
-                  f"updates/s", file=sys.stderr)
-        except Exception as e:  # secondary metric must never break bench
-            print(f"# pagerank bench skipped: {e}", file=sys.stderr)
+            log(f"# pagerank: {res.stats.elapsed_ms:.1f} ms for "
+                f"{res.stats.search_depth} iters -> {rate:.4f} G edge-"
+                f"updates/s")
+        except Exception as e:
+            log(f"# pagerank bench skipped: {e}")
 
-    print(json.dumps({
-        "metric": f"BFS GTEPS rmat{SCALE} (single chip)",
-        "value": round(best, 4),
-        "unit": "GTEPS",
-        "vs_baseline": round(best / 5.0, 4),
-    }))
+    if os.environ.get("BENCH_SSSP", "1") == "1":
+        try:
+            from gunrockinst_tpu.primitives import sssp
+            src = int(np.argmax(csr.degrees))
+            res = sssp.run(csr, src)
+            rate = csr.num_edges / (res.stats.elapsed_ms * 1e6)
+            log(f"# sssp: {res.stats.elapsed_ms:.1f} ms, depth "
+                f"{res.stats.search_depth} -> {rate:.4f} GTEPS")
+        except Exception as e:
+            log(f"# sssp bench skipped: {e}")
+
+    if os.environ.get("BENCH_CC", "1") == "1":
+        try:
+            from gunrockinst_tpu.primitives import cc
+            res = cc.run(csr)
+            rate = csr.num_edges / (res.stats.elapsed_ms * 1e6)
+            log(f"# cc: {res.stats.elapsed_ms:.1f} ms, "
+                f"{res.num_components} components -> {rate:.4f} G edge/s")
+        except Exception as e:
+            log(f"# cc bench skipped: {e}")
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -36,6 +36,20 @@ def _validate(name, ok):
     return 0 if ok else 1
 
 
+def _timed(args, fn):
+    """Run fn() --iteration-num times and report the MEAN elapsed over
+    the repetitions (the reference averages its GpuTimer over
+    --iteration-num runs, tests/bfs/test_bfs.cu:402-431)."""
+    res = fn()
+    if args.iteration_num > 1:
+        total = res.stats.elapsed_ms
+        for _ in range(args.iteration_num - 1):
+            res = fn()
+            total += res.stats.elapsed_ms
+        res.stats.elapsed_ms = total / args.iteration_num
+    return res
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
@@ -72,11 +86,13 @@ def main(argv=None) -> int:
                 return _validate(prim, np.array_equal(labels, ref))
             return 0
         if prim == "bfs":
-            res = bfs_mod.run(csr, src, mark_preds=args.mark_pred,
-                              traversal_mode=args.traversal_mode)
+            res = _timed(args, lambda: bfs_mod.run(
+                csr, src, mark_preds=args.mark_pred,
+                traversal_mode=args.traversal_mode))
         else:
-            res = dobfs_mod.run(csr, src, alpha=args.alpha, beta=args.beta,
-                                mark_preds=args.mark_pred)
+            res = _timed(args, lambda: dobfs_mod.run(
+                csr, src, alpha=args.alpha, beta=args.beta,
+                mark_preds=args.mark_pred))
         res.stats.display(prim)
         _display(prim, np.arange(len(res.labels)), res.labels)
         if not args.quick:
@@ -87,8 +103,9 @@ def main(argv=None) -> int:
     elif prim == "sssp":
         from gunrockinst_tpu.primitives import sssp as m
         src = resolve_source(args.src, csr)
-        res = m.run(csr, src, delta=args.delta_factor,
-                    mark_preds=args.mark_pred)
+        res = _timed(args, lambda: m.run(
+            csr, src, delta=args.delta_factor,
+            mark_preds=args.mark_pred))
         res.stats.display(prim)
         _display(prim, np.arange(len(res.dist)), res.dist)
         if not args.quick:
@@ -98,7 +115,7 @@ def main(argv=None) -> int:
 
     elif prim == "cc":
         from gunrockinst_tpu.primitives import cc as m
-        res = m.run(csr)
+        res = _timed(args, lambda: m.run(csr))
         res.stats.display(prim)
         print(f"number of components: {res.num_components}")
         _display(prim, np.arange(len(res.component_ids)), res.component_ids)
@@ -110,7 +127,7 @@ def main(argv=None) -> int:
     elif prim == "bc":
         from gunrockinst_tpu.primitives import bc as m
         src = resolve_source(args.src, csr)
-        res = m.run(csr, src=src)
+        res = _timed(args, lambda: m.run(csr, src=src))
         res.stats.display(prim)
         _display(prim, np.arange(len(res.bc_values)), res.bc_values)
         if not args.quick:
@@ -122,8 +139,9 @@ def main(argv=None) -> int:
     elif prim == "pr":
         from gunrockinst_tpu.primitives import pr as m
         pr_mode = "pallas" if args.traversal_mode == "pallas" else "xla"
-        res = m.run(csr, delta=args.delta, threshold=args.error,
-                    max_iter=args.max_iter, mode=pr_mode)
+        res = _timed(args, lambda: m.run(
+            csr, delta=args.delta, threshold=args.error,
+            max_iter=args.max_iter, mode=pr_mode))
         res.stats.display(prim)
         _display(prim, res.node_ids[: args.top_nodes],
                  res.sorted_ranks[: args.top_nodes])

@@ -66,6 +66,29 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# v5e has ~16 MiB VMEM/core; leave headroom for Mosaic's own needs.
+VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+
+
+def mega_vmem_bytes(n: int) -> int:
+    """VMEM residency of the mega kernel for an n-vertex graph: the
+    bit-plane label output + visited/frontier/next word maps scale with
+    n (planes*rows*512 B) on top of ~8.3 MiB of fixed DMA double
+    buffers.  Crosses VMEM_LIMIT_BYTES near rmat s21."""
+    from gunrockinst_tpu.ops.pallas_advance_v2 import REGION as _R
+    num_regions = max(1, _cdiv(n + 1, _R))
+    rows = num_regions * ROWS_PER_REGION          # n_words // 128
+    planes = max((n + 1).bit_length(), 1)
+    state = (planes + 3) * rows * 128 * 4  # planes + visited + fr + nx
+    bufs = (2 * 2 * CHUNK * 8 * 128 * 4            # hub + pk double bufs
+            + 2 * (CHUNK // 2) * 128 * 4)          # pk idx double buf
+    return state + bufs
+
+
+def mega_fits(n: int) -> bool:
+    return mega_vmem_bytes(n) <= VMEM_LIMIT_BYTES
+
+
 @dataclasses.dataclass
 class MegaPlan:
     n: int
@@ -379,6 +402,11 @@ class MegaBfs:
     label words, visited words, depth)."""
 
     def __init__(self, plan: MegaPlan, interpret: bool = False):
+        if not interpret and not mega_fits(plan.n):
+            raise ValueError(
+                f"mega kernel VMEM residency {mega_vmem_bytes(plan.n)} B "
+                f"exceeds the {VMEM_LIMIT_BYTES} B budget for n={plan.n}; "
+                "use the 'pallas' (fused v2) traversal mode instead")
         self.plan = plan
         R = plan.num_regions
         rows = plan.n_words // 128

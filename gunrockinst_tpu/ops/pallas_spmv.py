@@ -66,7 +66,8 @@ class SpmvPlan:
     pk_row_base: np.ndarray       # (Tp,) int32
     pk_out_row: np.ndarray        # (Tp,) int32
     pk_idx: np.ndarray            # (Tp*8, 128) rows 0/1 = group/lane idx
-    subtiles: int = 16            # subtiles per grid step
+    subtiles: int = SUBTILES      # must match the padding multiple used
+                                  # when the tile lists were built
 
     @property
     def num_hub(self):

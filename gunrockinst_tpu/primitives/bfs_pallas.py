@@ -191,8 +191,19 @@ def get_mega_bfs(csr: CsrGraph):
     hit = _mega_cache.get(csr)
     if hit is not None:
         return hit
-    from gunrockinst_tpu.ops.pallas_mega import MegaBfs, build_mega_plan
+    from gunrockinst_tpu.ops.pallas_mega import (MegaBfs, build_mega_plan,
+                                                 mega_fits)
     n = csr.num_nodes
+    if jax.default_backend() != "cpu" and not mega_fits(n):
+        # graph too big for the mega kernel's VMEM-resident state —
+        # fall back to the fused v2 path (same contract) rather than
+        # fail the Mosaic compile
+        import warnings
+        warnings.warn(f"mega BFS over VMEM budget at n={n}; "
+                      "falling back to fused v2 sweep")
+        fn = get_fused_bfs(csr)
+        _mega_cache[csr] = fn
+        return fn
     csc = csr.transposed()
     plan = build_mega_plan(csc.row_offsets, csc.col_indices, n)
     mb = MegaBfs(plan, interpret=jax.default_backend() == "cpu")

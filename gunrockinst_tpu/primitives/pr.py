@@ -82,25 +82,26 @@ def pr_kernel(graph: DeviceGraph, delta, threshold, src,
     return rank, it
 
 
-_spmv_cache = {}
+import weakref
+
+_spmv_cache = weakref.WeakKeyDictionary()  # csr -> SpmvSweeper
 
 
 def get_spmv_sweeper(csr, interpret=None):
-    """Per-graph cached pallas pull-SpMV sweeper (PR fast mode)."""
-    import weakref
-
+    """Per-graph cached pallas pull-SpMV sweeper (PR fast mode).
+    Keyed weakly by the CsrGraph object (like the BFS caches,
+    bfs_pallas.py) so entries die with the graph — no id() reuse."""
     from gunrockinst_tpu.ops.pallas_spmv import (SpmvSweeper,
                                                  build_spmv_plan)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    key = id(csr)
-    hit = _spmv_cache.get(key)
+    hit = _spmv_cache.get(csr)
     if hit is not None:
         return hit
     csc = csr.transposed()
     plan = build_spmv_plan(csc.row_offsets, csc.col_indices, csr.num_nodes)
     sweeper = SpmvSweeper(plan, interpret=interpret)
-    _spmv_cache[key] = sweeper
+    _spmv_cache[csr] = sweeper
     return sweeper
 
 
@@ -108,7 +109,7 @@ def pr_pallas(csr, delta: float = 0.85, threshold: float = 0.01,
               max_iter: int = 50, src: int = -1, interpret=None):
     """PageRank with the pallas pull-SpMV as the push kernel (exact
     f32 — same update rule as pr_kernel, summation order differs).
-    Returns (rank (n,) np.float32, iterations)."""
+    Returns (rank (n,) np.float32, iterations, device_ms)."""
     from gunrockinst_tpu.oracles.ranking import remove_dangling_degrees
 
     n = csr.num_nodes
