@@ -92,22 +92,43 @@ _fused_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 def get_fused_bfs(csr: CsrGraph):
     """Whole-search BFS as ONE jitted program: `lax.while_loop` around
-    (v2 pull sweep -> word-space frontier update -> labels write).
-    Avoids the per-level host dispatch latency entirely (the
-    reference's per-iteration kernel launches + D2H queue-length reads
-    collapse into a single launch)."""
+    a per-level direction choice (the reference DOBFS insight,
+    dobfs_enactor.cuh:397):
+
+      * LIGHT level (frontier out-edges <= E_CAP): XLA push — compact
+        the frontier bitmap, expand edges by scanned-degree
+        searchsorted (the LB GetEdgeCounts->Scan->BinarySearch shape,
+        edge_map_partitioned/kernel.cuh:242-559), scatter dst bits.
+        Costs O(n + E_CAP) instead of an O(m) sweep: on rmat-s20 the
+        source level and the low-degree tail levels (|F| 41K but only
+        49K out-edges) stop paying 229 MB full sweeps.
+      * HEAVY level: the v2 Pallas pull sweep.
+
+    Avoids per-level host dispatch entirely (the reference's
+    per-iteration kernel launches + D2H queue-length reads collapse
+    into a single launch)."""
     hit = _fused_cache.get(csr)
     if hit is not None:
         return hit
     n = csr.num_nodes
+    m = csr.num_edges
     n_pad = ((n + 128) // 128) * 128
     sweeper = get_pull_sweeper_v2(csr)
     n_words = sweeper.n_words
 
-    # every level runs the v2 pull sweep: at 0.18 us/subtile the full
-    # sweep beats the old sparse light path (compact+searchsorted cost
-    # ~60 ms at s20 vs ~12 ms for the sweep) — the light/heavy split
-    # died with kernel v2. The frontier stays word-packed in the carry.
+    # light-level capacities: a level whose frontier fits both goes
+    # through the XLA push branch
+    V_CAP = int(min(1 << 16, n_pad))
+    E_CAP = int(min(1 << 17, max(m, 1)))
+
+    # push-side CSR (device args — never closure-captured: big arrays
+    # inline as constants and blow the remote compile, CLAUDE.md)
+    push_args = (
+        jnp.asarray(csr.row_offsets[:-1].astype(np.int32)),  # starts (n,)
+        jnp.asarray(csr.col_indices.astype(np.int32)),       # dsts (m,)
+        jnp.asarray(np.pad(np.diff(csr.row_offsets), (0, n_pad - n))
+                    .astype(np.int32)),                      # degree (n_pad,)
+    )
 
     # label depths are stored as PLANES bit-plane word bitmaps so the
     # whole level loop runs in word space (a per-level bitmap unpack
@@ -116,11 +137,31 @@ def get_fused_bfs(csr: CsrGraph):
     PLANES = max((n + 1).bit_length(), 1)
 
     @jax.jit
-    def bfs_full_impl(src, hub_args, pk_args):
+    def bfs_full_impl(src, hub_args, pk_args, push):
+        starts, dsts, degree = push
         f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
         fw0 = pack_bitmap(f0, n_words)
         rows = n_words // 128
         planes0 = jnp.zeros((PLANES, rows, 128), jnp.int32)
+
+        def push_level(fw):
+            f = unpack_bitmap(fw, n_pad)
+            ids = jnp.nonzero(f, size=V_CAP, fill_value=n)[0].astype(
+                jnp.int32)
+            dg = jnp.where(ids < n, degree[jnp.minimum(ids, n_pad - 1)], 0)
+            cum = jnp.cumsum(dg)
+            total = cum[-1]
+            st = jnp.where(ids < n, starts[jnp.minimum(ids, n - 1)], 0)
+            j = jnp.arange(E_CAP, dtype=jnp.int32)
+            k = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
+            k = jnp.minimum(k, V_CAP - 1)
+            base = jnp.where(k > 0, cum[jnp.maximum(k - 1, 0)], 0)
+            eidx = st[k] + (j - base)
+            valid = j < total
+            dst = jnp.where(valid,
+                            dsts[jnp.clip(eidx, 0, m - 1)], n_pad - 1)
+            tb = jnp.zeros((n_pad,), jnp.bool_).at[dst].max(valid)
+            return pack_bitmap(tb, n_words)
 
         def cond(c):
             planes, fw, vw, depth, cont = c
@@ -128,7 +169,13 @@ def get_fused_bfs(csr: CsrGraph):
 
         def body(c):
             planes, fw, vw, depth, _ = c
-            tw = sweeper.sweep_with(hub_args, pk_args, fw)
+            f = unpack_bitmap(fw, n_pad)
+            push_edges = jnp.sum(jnp.where(f, degree, 0))
+            fcount = jnp.sum(f.astype(jnp.int32))
+            light = (push_edges <= E_CAP) & (fcount <= V_CAP)
+            tw = jax.lax.cond(
+                light, push_level,
+                lambda w: sweeper.sweep_with(hub_args, pk_args, w), fw)
             nfw = tw & ~vw             # next frontier, in word space
             vw = vw | nfw
             d = depth + 1
@@ -151,7 +198,7 @@ def get_fused_bfs(csr: CsrGraph):
         import time as _time
         t0 = _time.perf_counter()
         planes, vw, depth = bfs_full_impl(src, sweeper.hub_args,
-                                          sweeper.pk_args)
+                                          sweeper.pk_args, push_args)
         # scalar fetch forces the whole while_loop to complete (axon
         # block_until_ready returns early; see primitives/base.py::sync)
         depth = int(depth)
