@@ -1,36 +1,39 @@
-"""Pull-sweep kernel v3 — prefix/suffix-OR partial chunks.
+"""Pull-sweep kernel v3 — suffix-OR runs + per-lane singles.
 
-v2's packed flavor (pallas_advance_v2.py) loses ~54% of its slots:
-group chunks are 64-slot blocks *partially filled* (a 10-edge chunk
-burns a full block at 16%), a word's multiple group chunks must land in
-different tiles, and hub-cell remainders (<1024 edges) each burn a
-partial hub tile.  v3 recovers most of that (measured slot utilization
-0.46 -> ~0.76 on rmat-s20, scripts/sim_packing.py):
+v2's packed flavor (pallas_advance_v2.py) loses ~54% of its slots: any
+cell with >=8 edges gets 64-slot group chunks *partially filled* (a
+10-edge chunk burns a full block at 16% utilization) and a word's
+multiple group chunks must land in different tiles.  v3 keeps v2's two
+placement ideas (whole-block gather, single-lane gather) but replaces
+the whole-block operand with a per-lane SUFFIX-OR within each 8-lane
+block, which unifies three chunk granularities (measured slot
+utilization 0.46 -> ~0.67 on rmat-s20, scripts/sim_packing.py):
 
-  * group chunks are always FULL 64-slot blocks; a word may host TWO
-    group placements per tile (idx slots g0, g1).
-  * remainders become 8-slot-aligned PARTIAL chunks of 1..7 lanes,
-    packed two-per-block as a (prefix, suffix) pair: the kernel
-    computes per-lane prefix-OR and suffix-OR within each 8-lane
-    block, so chunk [8b, 8b+k) is read as pfx[8b+k-1] and chunk
-    [8b+8-k, 8b+8) as sfx[8b+8-k].  A full block read is sfx[8b]
-    (the group gather).
-  * hub cells contribute only FULL 1024-edge tiles to the hub flavor;
-    their remainder flows into the packed chunks of the same word
-    (a >=512 remainder keeps one partial hub tile — cheaper than 8+
-    group placements).
+  * full group chunk   — 64 edges, a whole block; gather sfx[8b]
+    (the suffix-OR at the block start IS the block OR).
+  * suffix run         — 9..56-edge remainders as ceil(r/8) lanes at
+    the END of a block: gather sfx[8b+8-k].  The leading 8-k lanes of
+    the same block stay addressable for other words' singles.
+  * single-lane chunk  — <=8-edge cells in ONE lane; gather red8[l]
+    (the per-lane 8-slot OR), any lane individually.
 
-Per-tile placement metadata is ONE (1,128) int32 row:
-    p | g0<<8 | g1<<16 | s<<24     (each 7-bit gather lane; 127=empty)
-with lanes 120..127 reserved dummy so empty gathers read zero.
+Per-word placement slots per tile: two suffix-operand slots (g0, g1 —
+each a full block or a suffix run) and one single-lane slot (l).  The
+per-tile metadata is ONE (1,128) int32 row:  g0 | g1<<8 | l<<16
+(7-bit gather lanes; 127 = empty — lanes 120..127 are reserved dummy
+so empty gathers read zero).
 
-The per-edge encoding (src | (dst%32)<<26), the hub flavor kernel, and
-the 8-row region frontier gather are shared with v2.  Reference
-parity: this is the TPU re-expression of the reference's load-balanced
-advance (oprtr/edge_map_partitioned/kernel.cuh:242-559) — the
-scanned-degree binary search that maps edge lanes to sources becomes a
-build-time placement; the atomic output-queue scatter becomes the
-precomputed gather placement.
+Hub cells (>=512 edges to one output word) contribute only FULL
+1024-edge tiles to the hub flavor; remainders < 512 flow into the
+packed chunks of the same word.
+
+The per-edge encoding (src | (dst%32)<<26), the hub kernel, and the
+8-row region frontier gather are shared with v2.  Reference parity:
+this is the TPU re-expression of the reference's load-balanced advance
+(oprtr/edge_map_partitioned/kernel.cuh:242-559) — the scanned-degree
+binary search that maps edge lanes to sources becomes a build-time
+placement; the atomic output-queue scatter becomes a precomputed
+gather.
 """
 
 from __future__ import annotations
@@ -48,7 +51,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gunrockinst_tpu.ops.pallas_advance_v2 import (
-    HUB_T, REGION, ROWS_PER_REGION, SHIFT_BITS, SRC_MASK, _gather_active)
+    HUB_T, REGION, ROWS_PER_REGION, SHIFT_BITS, SRC_MASK, _gather_active,
+    _hub_kernel)
 
 TILE_E = 1024
 LANES_USED = 120
@@ -75,7 +79,7 @@ class PullPlanV3:
     pk_tiles: np.ndarray         # (Tp*8, 128) int32 src|shift<<26
     pk_row_base: np.ndarray      # (Tp,)
     pk_out_row: np.ndarray       # (Tp,)
-    pk_idx: np.ndarray           # (Tp, 128) int32 p|g0<<8|g1<<16|s<<24
+    pk_idx: np.ndarray           # (Tp, 128) int32 g0|g1<<8|l<<16
     subtiles: int = SUBTILES
 
     @property
@@ -120,10 +124,11 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
             0, np.int64)
 
     hub_tiles_list, hub_meta = [], []
-    # per-supercell chunk queues: (region, out_row) ->
-    #   groups: list of (wl, edge_start)            # always 64 edges
-    #   partials: list of (wl, k_lanes, edge_start, count)
-    supers = defaultdict(lambda: ([], []))
+    # per-supercell queues: (region, out_row) ->
+    #   groups:   [(wl, edge_start, 64-or-less-count)]  (full blocks)
+    #   suffixes: [(wl, k_lanes 2..7, edge_start, count)]
+    #   singles:  [(wl, edge_start, count<=8)]
+    supers = defaultdict(lambda: ([], [], []))
 
     for c in range(len(cell_count)):
         s, cnt = int(cell_start[c]), int(cell_count[c])
@@ -147,18 +152,20 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
             cnt = rem            # remainder flows into packed chunks
             if cnt == 0:
                 continue
-        g, r = divmod(cnt, 64)
-        k = (r + 7) // 8
-        if k == 8:               # 57..63-edge remainder = full block
-            g, r, k = g + 1, 0, 0
-        groups, partials = supers[sk]
+        groups, suffixes, singles = supers[sk]
+        g, rr = divmod(cnt, 64)
         off = s
-        for _ in range(g):
+        if rr > 56:              # 57..63: treat as one more (partial) group
+            g, rr = g + 1, 0
+        for i in range(g):
             take = min(64, cnt - (off - s))
             groups.append((wl, off, take))
             off += take
-        if r:
-            partials.append((wl, k, off, r))
+        if rr > 8:
+            k = (rr + 7) // 8
+            suffixes.append((wl, k, off, rr))
+        elif rr >= 1:
+            singles.append((wl, off, rr))
 
     Th = len(hub_tiles_list)
     if Th:
@@ -174,67 +181,68 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
 
     for sk in sorted(supers):
         reg, out_row = sk
-        groups, partials = supers[sk]
-        gq = list(reversed(groups))      # pop from the end
-        # partials sorted by k descending for first-fit pairing
-        pq = sorted(partials, key=lambda t: t[1])  # ascending; pop big end
-        while gq or pq:
+        groups, suffixes, singles = supers[sk]
+        gq = list(reversed(groups))
+        sq = list(reversed(suffixes))
+        lq = list(reversed(singles))
+        while gq or sq or lq:
             tile = np.full((8, 128), dummy, np.int64)
-            idx = np.zeros(128, np.int64)
-            slot_used = np.zeros((128, 4), bool)   # p, g0, g1, s per word
-            idx_val = np.full((128, 4), EMPTY, np.int64)
+            # idx slots per word: 0 = g0, 1 = g1 (suffix-op), 2 = l
+            idx_val = np.full((128, 3), EMPTY, np.int64)
+            nsfx = np.zeros(128, np.int64)   # suffix-op slots used
             block = 0
+            free_lanes = []                  # addressable single lanes
             defer = []
-            while block < BLOCKS and gq:
+            while block < BLOCKS and gq:     # full blocks first
                 wl, es, take = gq.pop()
-                if slot_used[wl, 1] and slot_used[wl, 2]:
+                if nsfx[wl] >= 2:
                     defer.append((wl, es, take))
                     continue
-                gslot = 1 if not slot_used[wl, 1] else 2
-                lanes = slice(8 * block, 8 * block + 8)
                 buf = np.full(64, dummy, np.int64)
                 buf[:take] = packed_val[es: es + take]
-                tile[:, lanes] = buf.reshape(8, 8)
-                slot_used[wl, gslot] = True
-                idx_val[wl, gslot] = 8 * block
+                tile[:, 8 * block: 8 * block + 8] = buf.reshape(8, 8).T
+                idx_val[wl, nsfx[wl]] = 8 * block
+                nsfx[wl] += 1
                 block += 1
             gq.extend(reversed(defer))
-            # pair partials into the remaining blocks
-            while block < BLOCKS and pq:
-                wl1, k1, es1, r1 = pq.pop()          # largest k
+            defer = []
+            while block < BLOCKS and sq:     # suffix runs at block ends
+                wl, k, es, r = sq.pop()
+                if nsfx[wl] >= 2:
+                    defer.append((wl, k, es, r))
+                    continue
                 b0 = 8 * block
-                buf = np.full(8 * k1, dummy, np.int64)
-                buf[:r1] = packed_val[es1: es1 + r1]
-                tile[:, b0: b0 + k1] = buf.reshape(k1, 8).T
-                # prefix placement for the first chunk
-                slot_used[wl1, 0] = True
-                idx_val[wl1, 0] = b0 + k1 - 1
-                # find the largest partner fitting the remaining lanes
-                partner = None
-                for i in range(len(pq) - 1, -1, -1):
-                    if pq[i][1] <= 8 - k1:
-                        partner = pq.pop(i)
-                        break
-                if partner is not None:
-                    wl2, k2, es2, r2 = partner
-                    buf = np.full(8 * k2, dummy, np.int64)
-                    buf[:r2] = packed_val[es2: es2 + r2]
-                    tile[:, b0 + 8 - k2: b0 + 8] = buf.reshape(k2, 8).T
-                    slot_used[wl2, 3] = True
-                    idx_val[wl2, 3] = b0 + 8 - k2
+                buf = np.full(8 * k, dummy, np.int64)
+                buf[:r] = packed_val[es: es + r]
+                tile[:, b0 + 8 - k: b0 + 8] = buf.reshape(k, 8).T
+                idx_val[wl, nsfx[wl]] = b0 + 8 - k
+                nsfx[wl] += 1
+                free_lanes.extend(range(b0, b0 + 8 - k))
                 block += 1
+            sq.extend(reversed(defer))
+            # leftover whole blocks are all single-addressable
+            free_lanes.extend(range(8 * block, 8 * BLOCKS))
+            fl = 0
+            while fl < len(free_lanes) and lq:
+                wl, es, r = lq.pop()
+                lane = free_lanes[fl]
+                fl += 1
+                buf = np.full(8, dummy, np.int64)
+                buf[:r] = packed_val[es: es + r]
+                tile[:, lane] = buf
+                idx_val[wl, 2] = lane
             idx = (idx_val[:, 0] | (idx_val[:, 1] << 8)
-                   | (idx_val[:, 2] << 16) | (idx_val[:, 3] << 24))
+                   | (idx_val[:, 2] << 16))
             pk_tiles_list.append(tile)
             pk_meta.append((reg * ROWS_PER_REGION, out_row))
             pk_idx_list.append(idx)
 
+    empty_idx = np.full(128, EMPTY | (EMPTY << 8) | (EMPTY << 16),
+                        np.int64)
     while pk_tiles_list and len(pk_tiles_list) % subtiles:
         pk_tiles_list.append(np.full((8, 128), dummy, np.int64))
         pk_meta.append((0, 0))
-        pk_idx_list.append(np.full(128, EMPTY | (EMPTY << 8)
-                                   | (EMPTY << 16) | (EMPTY << 24),
-                                   np.int64))
+        pk_idx_list.append(empty_idx)
     while Th and Th % subtiles:
         hub_tiles = np.concatenate(
             [hub_tiles, np.full((8, 128), dummy, np.int64)])
@@ -268,29 +276,21 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
     )
 
 
-def _block_masks():
-    """Constant (1,128) int32 masks for the intra-block pfx/sfx OR
-    ladders: mge[d][l] = -1 where l%8 >= d, mle[d][l] = -1 where
-    l%8 <= 7-d (d in 1,2,4)."""
+def _v3_consts():
+    """Constant tiles for the v3 placement gather."""
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) % 8
-    mge = {d: jnp.where(lane >= d, -1, 0) for d in (1, 2, 4)}
     mle = {d: jnp.where(lane <= 7 - d, -1, 0) for d in (1, 2, 4)}
-    return mge, mle
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
+    # idx-extraction shift per op row: row0=g0(<<0), row1=g1(<<8),
+    # row4=l(<<16); unused rows forced to EMPTY by `dead`
+    shifts = (jnp.where(sub_iota == 1, 8, 0)
+              + jnp.where(sub_iota == 4, 16, 0))
+    used = (sub_iota == 0) | (sub_iota == 1) | (sub_iota == 4)
+    dead = jnp.where(used, 0, EMPTY)
+    return mle, sub_iota, shifts, dead
 
 
-def _pfx_sfx(red8, mge, mle):
-    """Per-lane prefix/suffix OR within each 8-lane block.
-    pltpu.roll(x, s)[l] = x[l-s]."""
-    p = red8
-    for d in (1, 2, 4):
-        p = p | (pltpu.roll(p, d, axis=1) & mge[d])
-    s = red8
-    for d in (1, 2, 4):
-        s = s | (pltpu.roll(s, 128 - d, axis=1) & mle[d])
-    return p, s
-
-
-def _v3_subtile(packed, idx_row, row_base, fr_ref, mge, mle, sub_iota,
+def _v3_subtile(packed, idx_row, row_base, fr_ref, mle, sub_iota,
                 shifts, dead):
     """One 1024-edge packed subtile -> (1,128) output-word OR values."""
     src = packed & SRC_MASK
@@ -300,28 +300,17 @@ def _v3_subtile(packed, idx_row, row_base, fr_ref, mge, mle, sub_iota,
     red8 = bitval[0:4, :] | bitval[4:8, :]
     red8 = red8[0:2, :] | red8[2:4, :]
     red8 = red8[0:1, :] | red8[1:2, :]           # (1,128) per-lane OR
-    pfx, sfx = _pfx_sfx(red8, mge, mle)
-    # op rows: 0..1 prefix-OR, 2..7 suffix-OR
-    op = jnp.where(sub_iota < 2, jnp.broadcast_to(pfx, (8, 128)),
-                   jnp.broadcast_to(sfx, (8, 128)))
-    # idx slots: row0 = p, row2 = g0, row3 = g1, row4 = s; rest empty
+    # suffix-OR within each 8-lane block: pltpu.roll(x,s)[l] = x[l-s]
+    sfx = red8
+    for d in (1, 2, 4):
+        sfx = sfx | (pltpu.roll(sfx, 128 - d, axis=1) & mle[d])
+    # op rows 0..3 = suffix-OR, rows 4..7 = per-lane OR
+    op = jnp.where(sub_iota < 4, jnp.broadcast_to(sfx, (8, 128)),
+                   jnp.broadcast_to(red8, (8, 128)))
     vb = jnp.broadcast_to(idx_row, (8, 128))
     idx = ((vb >> shifts) & 127) | dead
     res = jnp.take_along_axis(op, idx, axis=1)
-    return res[0:1, :] | res[2:3, :] | res[3:4, :] | res[4:5, :]
-
-
-def _v3_consts():
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
-    # per-row shift into the packed idx word; unused rows read slot p
-    # but are forced to EMPTY by `dead`
-    shifts = (jnp.where(sub_iota == 2, 8, 0)
-              + jnp.where(sub_iota == 3, 16, 0)
-              + jnp.where(sub_iota == 4, 24, 0))
-    used = ((sub_iota == 0) | (sub_iota == 2) | (sub_iota == 3)
-            | (sub_iota == 4))
-    dead = jnp.where(used, 0, EMPTY)
-    return sub_iota, shifts, dead
+    return res[0:1, :] | res[1:2, :] | res[4:5, :]
 
 
 def _packed_kernel_v3(row_base_ref, out_row_ref, tile_ref, idx_ref,
@@ -332,20 +321,15 @@ def _packed_kernel_v3(row_base_ref, out_row_ref, tile_ref, idx_ref,
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    mge, mle = _block_masks()
-    sub_iota, shifts, dead = _v3_consts()
+    mle, sub_iota, shifts, dead = _v3_consts()
     for k in range(subtiles):
         t = i * subtiles + k
         packed = tile_ref[8 * k: 8 * (k + 1), :]
         idx_row = idx_ref[k: k + 1, :]
         placed = _v3_subtile(packed, idx_row, row_base_ref[t], words_ref,
-                             mge, mle, sub_iota, shifts, dead)
+                             mle, sub_iota, shifts, dead)
         r = out_row_ref[t]
         out_ref[pl.ds(r, 1), :] = out_ref[pl.ds(r, 1), :] | placed
-
-
-# hub kernel identical to v2's — reuse it
-from gunrockinst_tpu.ops.pallas_advance_v2 import _hub_kernel
 
 
 class PullSweeperV3:

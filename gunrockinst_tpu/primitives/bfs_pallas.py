@@ -69,6 +69,28 @@ def get_pull_sweeper_v2(csr: CsrGraph, interpret: Optional[bool] = None):
     return sweeper
 
 
+_sweeper_v3_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_pull_sweeper_v3(csr: CsrGraph, interpret: Optional[bool] = None):
+    """v3 sweeper (suffix-OR runs + per-lane singles) — same contract
+    as v2 with ~18% fewer tiles on power-law graphs
+    (ops/pallas_advance_v3.py)."""
+    from gunrockinst_tpu.ops.pallas_advance_v3 import (PullSweeperV3,
+                                                       build_pull_plan_v3)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    hit = _sweeper_v3_cache.get(csr)
+    if hit is not None:
+        return hit
+    csc = csr.transposed()
+    plan = build_pull_plan_v3(csc.row_offsets, csc.col_indices,
+                              csr.num_nodes)
+    sweeper = PullSweeperV3(plan, interpret=interpret)
+    _sweeper_v3_cache[csr] = sweeper
+    return sweeper
+
+
 @functools.partial(jax.jit, static_argnames=("n_words",))
 def _level_update(labels, touched_words, depth, n_words: int):
     n_pad = labels.shape[0]
@@ -113,7 +135,7 @@ def get_fused_bfs(csr: CsrGraph):
     n = csr.num_nodes
     m = csr.num_edges
     n_pad = ((n + 128) // 128) * 128
-    sweeper = get_pull_sweeper_v2(csr)
+    sweeper = get_pull_sweeper_v3(csr)
     n_words = sweeper.n_words
 
     # light-level capacities: a level whose frontier fits both goes
@@ -122,46 +144,76 @@ def get_fused_bfs(csr: CsrGraph):
     E_CAP = int(min(1 << 17, max(m, 1)))
 
     # push-side CSR (device args — never closure-captured: big arrays
-    # inline as constants and blow the remote compile, CLAUDE.md)
+    # inline as constants and blow the remote compile, CLAUDE.md).
+    # degree is laid out BIT-PLANE-MAJOR (32, rows, 128):
+    # deg_planes[b, r, l] = out-degree of vertex (r*128+l)*32 + b, so
+    # frontier-masked degree sums never leave the 128-minor layout
+    # (a canonical (n_pad,) unpack costs ~25 ms at s20 — the 32-minor
+    # relayout — and would dominate the whole search).
+    deg_np = np.pad(np.diff(csr.row_offsets), (0, n_words * 32 - n))
+    rowsN = n_words // 128
+    deg_planes_np = np.ascontiguousarray(
+        deg_np.reshape(rowsN, 128, 32).transpose(2, 0, 1)).astype(np.int32)
     push_args = (
         jnp.asarray(csr.row_offsets[:-1].astype(np.int32)),  # starts (n,)
         jnp.asarray(csr.col_indices.astype(np.int32)),       # dsts (m,)
-        jnp.asarray(np.pad(np.diff(csr.row_offsets), (0, n_pad - n))
-                    .astype(np.int32)),                      # degree (n_pad,)
+        jnp.asarray(deg_planes_np),                          # (32,rows,128)
     )
 
     # label depths are stored as PLANES bit-plane word bitmaps so the
-    # whole level loop runs in word space (a per-level bitmap unpack
-    # cost ~25 ms at s20 — more than the sweep itself); the planes are
-    # unpacked to per-vertex labels once, after convergence.
+    # whole level loop runs in word space; the planes are unpacked to
+    # per-vertex labels once, after convergence (on the host).
     PLANES = max((n + 1).bit_length(), 1)
 
     @jax.jit
     def bfs_full_impl(src, hub_args, pk_args, push):
-        starts, dsts, degree = push
+        starts, dsts, deg_planes = push
+        rows = n_words // 128
         f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
         fw0 = pack_bitmap(f0, n_words)
-        rows = n_words // 128
         planes0 = jnp.zeros((PLANES, rows, 128), jnp.int32)
+        bidx = jnp.arange(32, dtype=jnp.int32)
+
+        def fw_bits(fw):
+            """(rows,128) words -> (32,rows,128) 0/1 planes; stays in
+            128-minor layout (no relayout)."""
+            return (fw[None, :, :] >> bidx[:, None, None]) & 1
 
         def push_level(fw):
-            f = unpack_bitmap(fw, n_pad)
-            ids = jnp.nonzero(f, size=V_CAP, fill_value=n)[0].astype(
-                jnp.int32)
-            dg = jnp.where(ids < n, degree[jnp.minimum(ids, n_pad - 1)], 0)
+            """One LIGHT level: compact -> LB expand -> plane scatter.
+            All id math is in plane-major flat order
+            p = b*rows*128 + word, so nonzero/scatter never touch the
+            canonical vertex order."""
+            fbits = fw_bits(fw)
+            flat = fbits.reshape(32 * rows * 128)
+            p = jnp.nonzero(flat, size=V_CAP,
+                            fill_value=32 * rows * 128)[0].astype(jnp.int32)
+            b = p // (rows * 128)
+            w = p - b * (rows * 128)
+            ids = w * 32 + b                     # vertex ids (or >= n)
+            ok = ids < n
+            idc = jnp.minimum(ids, n - 1)
+            dg = jnp.where(ok, deg_planes.reshape(
+                32 * rows * 128)[jnp.minimum(p, 32 * rows * 128 - 1)], 0)
             cum = jnp.cumsum(dg)
             total = cum[-1]
-            st = jnp.where(ids < n, starts[jnp.minimum(ids, n - 1)], 0)
+            st = jnp.where(ok, starts[idc], 0)
             j = jnp.arange(E_CAP, dtype=jnp.int32)
             k = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
             k = jnp.minimum(k, V_CAP - 1)
             base = jnp.where(k > 0, cum[jnp.maximum(k - 1, 0)], 0)
             eidx = st[k] + (j - base)
             valid = j < total
-            dst = jnp.where(valid,
-                            dsts[jnp.clip(eidx, 0, m - 1)], n_pad - 1)
-            tb = jnp.zeros((n_pad,), jnp.bool_).at[dst].max(valid)
-            return pack_bitmap(tb, n_words)
+            dst = jnp.where(valid, dsts[jnp.clip(eidx, 0, m - 1)], 0)
+            dpos = (dst % 32) * (rows * 128) + dst // 32
+            tflat = jnp.zeros((32 * rows * 128,), jnp.int32).at[dpos].max(
+                valid.astype(jnp.int32))
+            tplanes = tflat.reshape(32, rows, 128)
+            # plane-major pack: words = OR_b plane[b] << b
+            tw = jnp.zeros((rows, 128), jnp.int32)
+            for bb in range(32):
+                tw = tw | (tplanes[bb] << bb)
+            return tw
 
         def cond(c):
             planes, fw, vw, depth, cont = c
@@ -169,9 +221,9 @@ def get_fused_bfs(csr: CsrGraph):
 
         def body(c):
             planes, fw, vw, depth, _ = c
-            f = unpack_bitmap(fw, n_pad)
-            push_edges = jnp.sum(jnp.where(f, degree, 0))
-            fcount = jnp.sum(f.astype(jnp.int32))
+            fbits = fw_bits(fw)
+            push_edges = jnp.sum(fbits * deg_planes)
+            fcount = jnp.sum(fbits)
             light = (push_edges <= E_CAP) & (fcount <= V_CAP)
             tw = jax.lax.cond(
                 light, push_level,
