@@ -57,7 +57,10 @@ from gunrockinst_tpu.ops.pallas_advance_v2 import (
 TILE_E = 1024
 LANES_USED = 120
 BLOCKS = LANES_USED // 8     # 15
-SUBTILES = 4                 # subtiles per grid step (v2-measured optimum)
+SUBTILES = 8                 # subtiles per grid step; the (S,128) idx
+                             # block requires S % 8 == 0 (TPU sublane
+                             # tiling), and 8 amortizes the pipeline
+                             # step floor better than v2's 4 anyway
 EMPTY = 127                  # gather lane that always reads zero
 
 
