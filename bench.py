@@ -144,7 +144,14 @@ def secondary(csr):
     if os.environ.get("BENCH_PR", "1") == "1":
         try:
             from gunrockinst_tpu.primitives import pr
-            res = pr.run(csr, max_iter=5, mode="pallas")
+            from gunrockinst_tpu.primitives.pr import get_spmv_sweeper
+            try:
+                get_spmv_sweeper(csr)   # raises if plan > SMEM budget
+                pr_mode = "pallas"
+            except ValueError as e:
+                log(f"# pagerank pallas unavailable ({e}); using xla")
+                pr_mode = "xla"
+            res = pr.run(csr, max_iter=5, mode=pr_mode)
             edges_proc = csr.num_edges * res.stats.search_depth
             rate = edges_proc / (res.stats.elapsed_ms * 1e6)
             log(f"# pagerank: {res.stats.elapsed_ms:.1f} ms for "

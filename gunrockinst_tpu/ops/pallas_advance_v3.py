@@ -96,9 +96,18 @@ class PullPlanV3:
 
 def build_pull_plan_v3(adj_row_offsets: np.ndarray,
                        adj_col_indices: np.ndarray, n: int,
-                       subtiles: int = SUBTILES) -> PullPlanV3:
+                       subtiles: int = SUBTILES,
+                       gather_region: int = REGION) -> PullPlanV3:
     """Build v3 hub/packed tile sets from the pull-direction adjacency
-    (pass the CSC: rows = destination, cols = source)."""
+    (pass the CSC: rows = destination, cols = source).
+
+    gather_region = source vertices addressable by one subtile's
+    row_base.  32768 (default) = 8 frontier rows, read in-kernel by an
+    8-step select tree; 4096 = ONE row, read by a single lane-gather
+    (~3x less VPU work per subtile at a small cell-fragmentation cost —
+    rmat-s20 slots actually drop 47.1M -> 44M).  row_base is emitted in
+    frontier-ROW units either way, so kernels pick the gather by
+    rows-per-region = gather_region // 4096."""
     m = int(adj_col_indices.shape[0])
     dst = np.repeat(np.arange(n, dtype=np.int64),
                     np.diff(adj_row_offsets)).astype(np.int64)
@@ -106,8 +115,9 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
     num_regions = max(1, _cdiv(n + 1, REGION))
     n_words = num_regions * (REGION // 32)
     dummy = np.int64(n)   # frontier bit of vertex n is never set
+    rows_per_reg = gather_region // 4096   # frontier rows per region
 
-    region = src // REGION
+    region = src // gather_region
     word = dst // 32
     packed_val = (src | ((dst % 32) << SHIFT_BITS)).astype(np.int64)
 
@@ -144,13 +154,13 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
             for t in range(full):
                 hub_tiles_list.append(
                     packed_val[s + t * TILE_E: s + (t + 1) * TILE_E])
-                hub_meta.append((reg * ROWS_PER_REGION, w // 128, wl))
+                hub_meta.append((reg * rows_per_reg, w // 128, wl))
             s += full * TILE_E
             if rem >= HUB_T:
                 tile = np.full(TILE_E, dummy, np.int64)
                 tile[:rem] = packed_val[s: s + rem]
                 hub_tiles_list.append(tile)
-                hub_meta.append((reg * ROWS_PER_REGION, w // 128, wl))
+                hub_meta.append((reg * rows_per_reg, w // 128, wl))
                 continue
             cnt = rem            # remainder flows into packed chunks
             if cnt == 0:
@@ -237,7 +247,7 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
             idx = (idx_val[:, 0] | (idx_val[:, 1] << 8)
                    | (idx_val[:, 2] << 16))
             pk_tiles_list.append(tile)
-            pk_meta.append((reg * ROWS_PER_REGION, out_row))
+            pk_meta.append((reg * rows_per_reg, out_row))
             pk_idx_list.append(idx)
 
     empty_idx = np.full(128, EMPTY | (EMPTY << 8) | (EMPTY << 16),

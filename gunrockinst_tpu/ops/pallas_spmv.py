@@ -50,6 +50,19 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+# Per-tile metadata rides in scalar-prefetch (SMEM, ~1 MiB/core on
+# v5e).  Large power-law graphs (rmat s20: ~1.1M packed subtiles) blow
+# that budget; callers must check fits and fall back to the XLA
+# scatter-add path.
+SMEM_SCALAR_BUDGET = 512 * 1024
+
+
+def spmv_fits(plan: "SpmvPlan") -> bool:
+    hub_b = 3 * plan.num_hub * 4
+    pk_b = 2 * plan.num_packed * 4
+    return max(hub_b, pk_b) <= SMEM_SCALAR_BUDGET
+
+
 @dataclasses.dataclass
 class SpmvPlan:
     n: int

@@ -92,7 +92,8 @@ def get_spmv_sweeper(csr, interpret=None):
     Keyed weakly by the CsrGraph object (like the BFS caches,
     bfs_pallas.py) so entries die with the graph — no id() reuse."""
     from gunrockinst_tpu.ops.pallas_spmv import (SpmvSweeper,
-                                                 build_spmv_plan)
+                                                 build_spmv_plan,
+                                                 spmv_fits)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     hit = _spmv_cache.get(csr)
@@ -100,6 +101,11 @@ def get_spmv_sweeper(csr, interpret=None):
         return hit
     csc = csr.transposed()
     plan = build_spmv_plan(csc.row_offsets, csc.col_indices, csr.num_nodes)
+    if not interpret and not spmv_fits(plan):
+        raise ValueError(
+            f"spmv plan metadata ({plan.num_hub} hub / {plan.num_packed} "
+            "packed subtiles) exceeds the SMEM scalar-prefetch budget; "
+            "use mode='xla'")
     sweeper = SpmvSweeper(plan, interpret=interpret)
     _spmv_cache[csr] = sweeper
     return sweeper
