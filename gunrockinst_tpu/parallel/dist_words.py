@@ -1,0 +1,303 @@
+"""Boundary-exchange distributed primitives: dst-owned partitioning.
+
+`parallel/dist.py` replicates vertex state and all-reduces full
+(n_pad,) int32 vectors every level — O(4n) bytes on ICI per device per
+iteration regardless of frontier size.  This module implements the
+blueprint's boundary-vertex exchange (SURVEY.md §5.8; the layer the
+reference left stubbed at app/problem_base.cuh:186-210,336) the TPU
+way:
+
+  * vertices are range-partitioned by DESTINATION: device d owns dst
+    range [d*n_loc, (d+1)*n_loc) and ALL in-edges of those dsts, so
+    label/distance/rank updates for owned vertices complete locally —
+    no scatter crosses ICI, ever.
+  * the only per-level exchange is the next-frontier BITMAP: each
+    device packs its owned `new` bits into n_loc/32 words and
+    `all_gather`s the slices into the replicated frontier word map.
+    Per-device ICI egress = n/32/d words = n/(8d) bytes per level —
+    a 32x reduction over one replicated int32 vector, 96x over
+    dist.py's three — and the psum'd per-level byte model is reported
+    by scaling_bench.py.
+
+Determinism matches the single-chip primitives: scatter-min/max/add
+with min-vertex-id tie-breaks, shard-count-invariant by construction
+(each dst's in-edges all live on one device).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from gunrockinst_tpu.graph.csr import CsrGraph
+from gunrockinst_tpu.parallel.mesh import EDGE_AXIS
+
+INT_MAX = jnp.iinfo(jnp.int32).max
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class DstShardedGraph:
+    """Edges partitioned by destination ownership.
+
+    Shard-major layout: arrays are (d * m_loc,) with device k's edges
+    in [k*m_loc, (k+1)*m_loc), sharded P('e').  Dummy-padded with
+    (n -> n) edges (src n is never in a frontier; dst n maps to local
+    dummy slot n_loc-1 of the owner of n's range)."""
+
+    n: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+    n_loc: int = dataclasses.field(metadata=dict(static=True))   # per-dev
+    m_loc: int = dataclasses.field(metadata=dict(static=True))   # per-dev
+    n_devices: int = dataclasses.field(metadata=dict(static=True))
+
+    edge_src: jax.Array    # (d*m_loc,) GLOBAL src ids, P('e')
+    edge_dst_l: jax.Array  # (d*m_loc,) LOCAL dst ids [0, n_loc), P('e')
+    edge_w: jax.Array      # (d*m_loc,) f32, P('e')
+    out_degree: jax.Array  # (d*n_loc,) int32 out-degree of owned verts
+
+    @property
+    def n_pad(self) -> int:
+        return self.n_loc * self.n_devices
+
+    @property
+    def n_words(self) -> int:
+        return self.n_pad // 32
+
+
+def shard_graph_by_dst(csr: CsrGraph, mesh: Mesh) -> DstShardedGraph:
+    """Partition a host CSR by dst range over the mesh.  n_loc is
+    lane-and-word aligned (multiple of 128*32 = 4096) so each device's
+    frontier slice packs to whole (sub-lane-aligned) words."""
+    d = mesh.shape[EDGE_AXIS]
+    n, m = csr.num_nodes, csr.num_edges
+    n_loc = -(-(n + 1) // (4096 * d)) * 4096
+    n_pad = n_loc * d
+
+    src = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.row_offsets))
+    dst = csr.col_indices.astype(np.int64)
+    w = (csr.edge_values.astype(np.float32) if csr.edge_values is not None
+         else np.ones(m, np.float32))
+
+    owner = dst // n_loc
+    order = np.argsort(owner, kind="stable")
+    src, dst, w, owner = src[order], dst[order], w[order], owner[order]
+    counts = np.bincount(owner, minlength=d)
+    m_loc = -(-max(int(counts.max()), 1) // 128) * 128
+
+    es = np.full((d, m_loc), n, np.int32)          # dummy src = n
+    ed = np.full((d, m_loc), n_loc - 1, np.int32)  # local dummy slot
+    ew = np.zeros((d, m_loc), np.float32)
+    off = 0
+    for k in range(d):
+        c = int(counts[k])
+        es[k, :c] = src[off: off + c]
+        ed[k, :c] = (dst[off: off + c] - k * n_loc)
+        ew[k, :c] = w[off: off + c]
+        off += c
+
+    deg = np.zeros(n_pad, np.int32)
+    deg[:n] = np.diff(csr.row_offsets)
+
+    eshard = NamedSharding(mesh, P(EDGE_AXIS))
+    return DstShardedGraph(
+        n=n, m=m, n_loc=n_loc, m_loc=m_loc, n_devices=d,
+        edge_src=jax.device_put(es.reshape(-1), eshard),
+        edge_dst_l=jax.device_put(ed.reshape(-1), eshard),
+        edge_w=jax.device_put(ew.reshape(-1), eshard),
+        out_degree=jax.device_put(deg, eshard),
+    )
+
+
+def _pack_words(bits, n_words_loc: int):
+    """(n_loc,) bool -> (n_words_loc,) int32 little-endian bit words."""
+    b = bits.reshape(n_words_loc, 32).astype(jnp.int32)
+    sh = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(b << sh[None, :], axis=1, dtype=jnp.int32)
+
+
+def _frontier_bit(words, vids):
+    """Replicated word map -> per-edge frontier bit for GLOBAL ids."""
+    return (words[vids >> 5] >> (vids & 31)) & 1
+
+
+def bfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
+                   mark_preds: bool = True):
+    """Distributed BFS with bitmap-only boundary exchange.
+
+    Per level, per device: gather frontier bits for local edges' srcs
+    from the replicated word map, scatter-max into OWNED dst labels
+    (purely local), pack owned `new` bits to words, all_gather the
+    word slices.  Returns (labels (n_pad,) [owner-gathered at the end],
+    preds, depth, ici_bytes: modeled per-device ICI egress)."""
+    n_loc, n_words = graph.n_loc, graph.n_words
+    nwl = n_loc // 32
+    d = graph.n_devices
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P()),
+        out_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(), P()),
+        check_rep=False)
+    def search(esrc, edst_l, src_v):
+        # local slice id of this device = owner of its dst range
+        me = jax.lax.axis_index(EDGE_AXIS)
+        s = src_v[0]
+        own_src = (s // n_loc) == me
+        labels0 = jnp.full((n_loc,), INT_MAX, jnp.int32)
+        labels0 = jnp.where(
+            (jnp.arange(n_loc) == (s % n_loc)) & own_src, 0, labels0)
+        preds0 = jnp.full((n_loc,), -1, jnp.int32)
+        fw0 = jnp.zeros((n_words,), jnp.int32).at[s >> 5].set(
+            jnp.int32(1) << (s & 31))
+
+        def cond(c):
+            labels, preds, fw, depth, traffic = c
+            return jnp.any(fw != 0) & (depth <= graph.n)
+
+        def body(c):
+            labels, preds, fw, depth, traffic = c
+            active = _frontier_bit(fw, esrc).astype(jnp.bool_)
+            cand = active & (labels[edst_l] == INT_MAX)
+            touched = jnp.zeros((n_loc,), jnp.bool_).at[edst_l].max(cand)
+            newf = touched & (labels == INT_MAX)
+            labels = jnp.where(newf, depth + 1, labels)
+            if mark_preds:
+                pmin = jnp.full((n_loc,), INT_MAX, jnp.int32).at[
+                    edst_l].min(jnp.where(cand, esrc, INT_MAX))
+                preds = jnp.where(newf, pmin, preds)
+            # the ONLY cross-device exchange: owned new-frontier words
+            nw_local = _pack_words(newf, nwl)
+            fw = jax.lax.all_gather(
+                nw_local, EDGE_AXIS, tiled=True)      # (n_words,)
+            return labels, preds, fw, depth + 1, traffic + nwl * 4
+
+        labels, preds, fw, depth, traffic = jax.lax.while_loop(
+            cond, body, (labels0, preds0, fw0, jnp.int32(0),
+                         jnp.int32(0)))
+        return labels, preds, depth[None], traffic[None]
+
+    labels, preds, depth, traffic = jax.jit(search)(
+        graph.edge_src, graph.edge_dst_l,
+        jnp.asarray([src], dtype=jnp.int32))
+    return labels, preds, int(depth[0]), int(traffic[0])
+
+
+def sssp_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh):
+    """Distributed SSSP: local scatter-min relaxations into owned
+    distances, then all_gather of the owned DISTANCE slices (each
+    device sends n_loc*4 bytes — d-fold less than dist.py's replicated
+    pmin).  Bitwise equal to the single-chip Bellman fixpoint."""
+    n_loc = graph.n_loc
+    n_pad = graph.n_pad
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS), P()),
+        out_specs=(P(EDGE_AXIS), P(), P()),
+        check_rep=False)
+    def search(esrc, edst_l, w, src_v):
+        inf = jnp.float32(jnp.inf)
+        s = src_v[0]
+        dist_g0 = jnp.full((n_pad,), inf).at[s].set(0.0)
+
+        def cond(c):
+            dist_g, changed, it, traffic = c
+            return changed & (it < 4 * graph.n + 8)
+
+        def body(c):
+            dist_g, _, it, traffic = c
+            vals = dist_g[esrc] + w
+            vals = jnp.where(esrc == graph.n, inf, vals)  # dummy edges
+            relaxed = jnp.full((n_loc,), inf).at[edst_l].min(vals)
+            me = jax.lax.axis_index(EDGE_AXIS)
+            own = jax.lax.dynamic_slice(dist_g, (me * n_loc,), (n_loc,))
+            new_own = jnp.minimum(own, relaxed)
+            changed = jnp.any(new_own < own)
+            # exchange: owned distance slices only
+            dist_g = jax.lax.all_gather(new_own, EDGE_AXIS, tiled=True)
+            changed = jax.lax.pmax(changed.astype(jnp.int32),
+                                   EDGE_AXIS) > 0
+            return dist_g, changed, it + 1, traffic + n_loc * 4
+
+        dist_g, _, it, traffic = jax.lax.while_loop(
+            cond, body, (dist_g0, jnp.bool_(True), jnp.int32(0),
+                         jnp.int32(0)))
+        me = jax.lax.axis_index(EDGE_AXIS)
+        own = jax.lax.dynamic_slice(dist_g, (me * n_loc,), (n_loc,))
+        return own, it[None], traffic[None]
+
+    dist, it, traffic = jax.jit(search)(
+        graph.edge_src, graph.edge_dst_l, graph.edge_w,
+        jnp.asarray([src], dtype=jnp.int32))
+    return dist, int(it[0]), int(traffic[0])
+
+
+def pagerank_dist_words(graph: DstShardedGraph, mesh: Mesh,
+                        delta: float = 0.85, threshold: float = 0.01,
+                        max_iter: int = 50):
+    """Distributed Gunrock-semantics PageRank: owned-dst partial sums
+    complete locally; one all_gather of the owned rank slices per
+    iteration (n_loc*4 B egress per device vs dist.py's full-vector
+    psum)."""
+    n_loc, n_pad = graph.n_loc, graph.n_pad
+    n = graph.n
+
+    nwl = n_loc // 32
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS)),
+        out_specs=(P(EDGE_AXIS), P()),
+        check_rep=False)
+    def pr(esrc, edst_l, deg_own):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        gid = me * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        real_own = gid < n
+        # global degree map for src-side contrib reads (one-time)
+        deg_g = jax.lax.all_gather(deg_own, EDGE_AXIS, tiled=True)
+        degf_g = jnp.maximum(deg_g.astype(jnp.float32), 1.0)
+        real_g = jnp.arange(n_pad, dtype=jnp.int32) < n
+        rank_g0 = jnp.where(real_g, 1.0 - delta, 0.0)
+        aw0 = jax.lax.all_gather(
+            _pack_words((deg_own > 0) & real_own, nwl),
+            EDGE_AXIS, tiled=True)
+
+        def cond(c):
+            rank_g, aw, it, traffic = c
+            return jnp.any(aw != 0) & (it < max_iter)
+
+        def body(c):
+            rank_g, aw, it, traffic = c
+            contrib_g = jnp.where(deg_g > 0, rank_g / degf_g, 0.0)
+            active_src = _frontier_bit(aw, esrc).astype(jnp.bool_)
+            ok = active_src & (deg_g[esrc] > 0) & (esrc != graph.n)
+            part = jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                jnp.where(ok, contrib_g[esrc], 0.0))
+            part = jnp.where(deg_own > 0, part, 0.0)  # dead-end filter
+            nxt_own = jnp.where(real_own,
+                                delta * part + (1.0 - delta), 0.0)
+            old_own = jax.lax.dynamic_slice(rank_g, (me * n_loc,),
+                                            (n_loc,))
+            act_own = (jnp.abs(nxt_own - old_own) > threshold) & real_own
+            # exchange: owned rank slice + owned active words
+            rank_g = jax.lax.all_gather(nxt_own, EDGE_AXIS, tiled=True)
+            aw = jax.lax.all_gather(_pack_words(act_own, nwl),
+                                    EDGE_AXIS, tiled=True)
+            return rank_g, aw, it + 1, traffic + n_loc * 4 + nwl * 4
+
+        rank_g, _, it, traffic = jax.lax.while_loop(
+            cond, body, (rank_g0, aw0, jnp.int32(0), jnp.int32(0)))
+        own = jax.lax.dynamic_slice(rank_g, (me * n_loc,), (n_loc,))
+        return own, traffic[None]
+
+    rank, traffic = jax.jit(pr)(graph.edge_src, graph.edge_dst_l,
+                                graph.out_degree)
+    return rank, int(traffic[0])

@@ -50,6 +50,9 @@ def main():
     print(f"# rmat s{args.scale}: {csr.num_nodes} nodes, {m} edges; "
           f"{ndev} devices available", file=sys.stderr)
 
+    from gunrockinst_tpu.parallel.dist_words import (bfs_dist_words,
+                                                     shard_graph_by_dst)
+
     results = []
     base_rate = None
     for d in device_counts:
@@ -63,13 +66,39 @@ def main():
         _ = int(depth)  # host fetch forces completion
         dt = time.perf_counter() - t0
         rate = edges_visited / dt
+
+        # boundary-exchange layer: measured per-device ICI egress.
+        # dist.py all-reduces 2-3 replicated (n_pad,) int32 vectors per
+        # level (>= 8*n_pad bytes egress); dist_words exchanges only
+        # each device's OWNED next-frontier words — n_loc/8 bytes,
+        # per-level traffic proportional to the bitmap, not the
+        # replicated state.
+        sgw = shard_graph_by_dst(csr, mesh)
+        wl, _, wdepth, wtraffic = bfs_dist_words(sgw, src, mesh,
+                                                 mark_preds=False)
+        assert np.array_equal(np.asarray(wl)[: sg.n] != np.iinfo(
+            np.int32).max, visited), "word-exchange BFS mismatch"
+        t0 = time.perf_counter()
+        _, _, wdepth, wtraffic = bfs_dist_words(sgw, src, mesh,
+                                                mark_preds=False)
+        wdt = time.perf_counter() - t0
+        dense_bytes = 2 * 4 * sg.n_pad * max(int(depth), 1)
+
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * d)
-        results.append(dict(devices=d, bfs_meps=rate / 1e6,
-                            scaling_efficiency=round(eff, 3)))
+        results.append(dict(
+            devices=d, bfs_meps=rate / 1e6,
+            scaling_efficiency=round(eff, 3),
+            words_bfs_meps=edges_visited / wdt / 1e6,
+            ici_bytes_per_device=wtraffic,
+            ici_bytes_dense_equiv=dense_bytes,
+            ici_reduction=round(dense_bytes / max(wtraffic, 1), 1)))
         print(f"# d={d}: {dt*1e3:.1f} ms, {rate/1e6:.1f} M edges/s, "
-              f"efficiency {eff:.2f}", file=sys.stderr)
+              f"efficiency {eff:.2f}; word-exchange {wdt*1e3:.1f} ms, "
+              f"ICI {wtraffic} B/dev vs {dense_bytes} B dense "
+              f"({dense_bytes/max(wtraffic,1):.0f}x less)",
+              file=sys.stderr)
 
     print(json.dumps({
         "metric": f"distributed BFS scaling rmat{args.scale}",

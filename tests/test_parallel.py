@@ -74,3 +74,70 @@ def test_cc_dist_matches_oracle(chesapeake):
         comp, it = cc_dist(sg, mesh)
         np.testing.assert_array_equal(np.asarray(comp)[:chesapeake.num_nodes],
                                       ref)
+
+
+# ---------------- boundary-exchange (word-bitmap) layer ----------------
+
+def test_bfs_dist_words_matches_oracle(chesapeake):
+    from gunrockinst_tpu.parallel.dist_words import (bfs_dist_words,
+                                                     shard_graph_by_dst)
+    ref_labels, ref_preds = bfs_reference(chesapeake, 0)
+    for nd in (1, 4, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(chesapeake, mesh)
+        labels, preds, depth, traffic = bfs_dist_words(sg, 0, mesh)
+        np.testing.assert_array_equal(np.asarray(labels)[:sg.n],
+                                      ref_labels)
+        np.testing.assert_array_equal(np.asarray(preds)[:sg.n], ref_preds)
+        # per-level egress = owned frontier words only
+        assert traffic == depth * (sg.n_loc // 32) * 4
+
+
+def test_bfs_dist_words_rmat_shard_invariance():
+    from gunrockinst_tpu.parallel.dist_words import (bfs_dist_words,
+                                                     shard_graph_by_dst)
+    csr = rmat_graph(10, 8, undirected=True, seed=9)
+    src = int(np.argmax(np.diff(csr.row_offsets)))
+    ref_labels, ref_preds = bfs_reference(csr, src)
+    for nd in (1, 4, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(csr, mesh)
+        labels, preds, _, _ = bfs_dist_words(sg, src, mesh)
+        np.testing.assert_array_equal(np.asarray(labels)[:sg.n],
+                                      ref_labels)
+        np.testing.assert_array_equal(np.asarray(preds)[:sg.n], ref_preds)
+
+
+def test_sssp_dist_words_matches_oracle():
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.oracles import sssp_reference
+    from gunrockinst_tpu.parallel.dist_words import (shard_graph_by_dst,
+                                                     sssp_dist_words)
+    rng = np.random.default_rng(3)
+    n, m = 120, 700
+    csr = CsrGraph.from_coo(CooGraph(
+        n, rng.integers(0, n, m), rng.integers(0, n, m),
+        rng.integers(1, 32, m).astype(np.float32)))
+    ref, _ = sssp_reference(csr, 0)
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(csr, mesh)
+        dist, it, traffic = sssp_dist_words(sg, 0, mesh)
+        np.testing.assert_array_equal(np.asarray(dist)[:n], ref)
+        assert traffic == it * sg.n_loc * 4
+
+
+def test_pagerank_dist_words_shard_invariance():
+    from gunrockinst_tpu.parallel.dist_words import (pagerank_dist_words,
+                                                     shard_graph_by_dst)
+    csr = rmat_graph(7, 8, undirected=True, seed=4)
+    outs = []
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(csr, mesh)
+        rank, traffic = pagerank_dist_words(sg, mesh)
+        outs.append(np.asarray(rank)[:sg.n])
+        assert traffic > 0
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
+    assert np.isfinite(outs[0]).all() and outs[0].max() > 0
