@@ -32,8 +32,7 @@ from gunrockinst_tpu.primitives.base import (GraphLike, Stats, Timer,
 INT_MAX = jnp.iinfo(jnp.int32).max
 
 
-@jax.jit
-def bc_source_kernel(graph: DeviceGraph, src):
+def _bc_source(graph: DeviceGraph, src):
     """One Brandes source. Returns (delta (n_pad,) f32 dependency
     scores, sigma (n_pad,) f32, labels (n_pad,) i32, depth)."""
     n_pad = graph.n_pad
@@ -63,9 +62,14 @@ def bc_source_kernel(graph: DeviceGraph, src):
     labels, sigma, _, depth = jax.lax.while_loop(
         fcond, fbody, (labels0, sigma0, frontier0, jnp.int32(0)))
 
-    # backward dependency accumulation, deepest level first
+    # backward dependency accumulation, deepest level first.
+    # inv_sigma is a SAFE reciprocal: unreachable vertices (sigma=0)
+    # get 0, never 1/tiny=inf — under vmap on TPU the select can fuse
+    # into arithmetic masking, so an inf in the untaken branch poisons
+    # the result (inf*0=nan); keep every intermediate finite.
     lab_s, lab_d = labels[esrc], labels[edst]
-    sig_safe = jnp.maximum(sigma, 1e-30)
+    inv_sigma = jnp.where(sigma > 0.0,
+                          1.0 / jnp.where(sigma > 0.0, sigma, 1.0), 0.0)
 
     def bcond(carry):
         delta, d = carry
@@ -75,7 +79,8 @@ def bc_source_kernel(graph: DeviceGraph, src):
         delta, d = carry
         mask_e = (lab_s == d - 1) & (lab_d == d)
         contrib = jnp.where(
-            mask_e, sigma[esrc] / sig_safe[edst] * (1.0 + delta[edst]), 0.0)
+            mask_e, sigma[esrc] * inv_sigma[edst] * (1.0 + delta[edst]),
+            0.0)
         delta = delta.at[esrc].add(contrib)
         return delta, d - 1
 
@@ -83,6 +88,97 @@ def bc_source_kernel(graph: DeviceGraph, src):
         bcond, bbody, (jnp.zeros((n_pad,), jnp.float32), depth - 1))
     delta = delta.at[src].set(0.0)
     return delta, sigma, labels, depth
+
+
+bc_source_kernel = jax.jit(_bc_source)
+
+
+@jax.jit
+def bc_batch_kernel(graph: DeviceGraph, srcs):
+    """K Brandes sources in ONE compiled program, natively batched:
+    (K, n_pad) state arrays, ONE shared forward while_loop (runs to the
+    max depth over the batch; finished lanes have empty frontiers so
+    their updates are no-ops) and one shared backward countdown (levels
+    a lane never reached match no edges).  Replaces the reference's
+    host loop of per-source enactor launches (tests/bc/test_bc.cu
+    src=-1 path) where each launch costs ~µs; here a launch costs a
+    3-30 ms tunnel round-trip, so batching is what makes full-graph BC
+    feasible.  Written without vmap: the vmapped-while_loop form
+    miscompiled on the axon TPU backend (backward scatter produced
+    zeros).  srcs: (K,) int32, dummy-padded with `n` (a dummy source
+    contributes an all-zero delta).  Returns (bc_partial (n_pad,) f32
+    summed over lanes, sigma (K,n_pad), labels (K,n_pad), max depth)."""
+    n_pad = graph.n_pad
+    esrc, edst = graph.edge_src, graph.edge_dst
+    K = srcs.shape[0]
+    lanes = jnp.arange(K)
+
+    labels0 = jnp.full((K, n_pad), INT_MAX, jnp.int32).at[
+        lanes, srcs].set(0)
+    sigma0 = jnp.zeros((K, n_pad), jnp.float32).at[lanes, srcs].set(1.0)
+    frontier0 = jnp.zeros((K, n_pad), jnp.bool_).at[
+        lanes, srcs].set(True)
+
+    def fcond(carry):
+        labels, sigma, frontier, depth = carry
+        return jnp.any(frontier) & (depth <= graph.n)
+
+    def fbody(carry):
+        labels, sigma, frontier, depth = carry
+        active = frontier[:, esrc]
+        cand = active & (labels[:, edst] == INT_MAX)
+        touched = jnp.zeros((K, n_pad), jnp.bool_).at[:, edst].max(cand)
+        newf = touched & (labels == INT_MAX)
+        labels = jnp.where(newf, depth + 1, labels)
+        sadd = jnp.zeros((K, n_pad), jnp.float32).at[:, edst].add(
+            jnp.where(cand, sigma[:, esrc], 0.0))
+        sigma = jnp.where(newf, sadd, sigma)
+        return labels, sigma, newf, depth + 1
+
+    labels, sigma, _, depth = jax.lax.while_loop(
+        fcond, fbody, (labels0, sigma0, frontier0, jnp.int32(0)))
+
+    # backward: one countdown from the batch-max depth; safe reciprocal
+    # keeps every intermediate finite (see _bc_source).  The four
+    # loop-invariant (K, m_pad) edge gathers are HOISTED out of the
+    # loop: besides saving work, in-loop batched gathers of
+    # loop-invariant arrays miscompile on the axon TPU backend (the
+    # loop silently produces zeros; only the carry gather
+    # delta[:, edst] may stay inside).  _auto_batch accounts for the
+    # 16 B/edge/lane these cost.
+    inv_sigma = jnp.where(sigma > 0.0,
+                          1.0 / jnp.where(sigma > 0.0, sigma, 1.0), 0.0)
+    lab_s, lab_d = labels[:, esrc], labels[:, edst]
+    sig_s, inv_d = sigma[:, esrc], inv_sigma[:, edst]
+
+    def bcond(carry):
+        delta, d = carry
+        return d > 0
+
+    def bbody(carry):
+        delta, d = carry
+        mask_e = (lab_s == d - 1) & (lab_d == d)
+        contrib = jnp.where(
+            mask_e, sig_s * inv_d * (1.0 + delta[:, edst]), 0.0)
+        delta = delta.at[:, esrc].add(contrib)
+        return delta, d - 1
+
+    delta, _ = jax.lax.while_loop(
+        bcond, bbody, (jnp.zeros((K, n_pad), jnp.float32), depth - 1))
+    delta = delta.at[lanes, srcs].set(0.0)
+    valid = srcs < graph.n
+    bc_part = jnp.sum(jnp.where(valid[:, None], delta, 0.0), axis=0)
+    return bc_part, sigma, labels, depth - 1
+
+
+def _auto_batch(g: DeviceGraph) -> int:
+    """Largest power-of-two source batch whose ~22*m_pad B/lane of edge
+    arrays (16 B hoisted backward gathers + ~6 B forward temporaries)
+    stays within a ~2 GiB scratch budget (v5e HBM 16 GB), clamped to
+    [1, 128]."""
+    per_lane = 22 * g.m_pad
+    k = max(1, (2 << 30) // max(per_lane, 1))
+    return 1 << min(max(k.bit_length() - 1, 0), 7)
 
 
 @dataclasses.dataclass
@@ -93,25 +189,46 @@ class BcResult:
     stats: Stats
 
 
-def run(graph: GraphLike, src: int = -1) -> BcResult:
+def run(graph: GraphLike, src: int = -1,
+        batch: Optional[int] = None) -> BcResult:
     """Host entry. src >= 0: single-source accumulation (the reference
     enactor is per-source; its test loops sources); src == -1: all
-    sources."""
+    sources, computed `batch` sources per kernel call (auto-sized to
+    the graph when None).  sigmas/labels in the result are those of the
+    last source, matching the reference test's convention."""
     g = device_graph(graph)
-    sources = range(g.n) if src < 0 else [src]
-    out = bc_source_kernel(g, sources[0] if src >= 0 else 0)
-    sync(out[3])
-    bc = np.zeros(g.n_pad, dtype=np.float64)
-    with Timer() as t:
-        sigma = labels = None
+    if src >= 0:
+        out = bc_source_kernel(g, src)   # warm
+        sync(out[3])
+        with Timer() as t:
+            delta, sigma, labels, d = bc_source_kernel(g, src)
+            bc = np.asarray(delta, dtype=np.float64)
+        depth = int(d)
+        n_sources = 1
+    else:
+        K = batch or _auto_batch(g)
+        srcs0 = jnp.arange(min(K, g.n), dtype=jnp.int32)
+        if srcs0.shape[0] < K:
+            srcs0 = jnp.concatenate(
+                [srcs0, jnp.full((K - srcs0.shape[0],), g.n, jnp.int32)])
+        out = bc_batch_kernel(g, srcs0)  # warm (one compile for all)
+        sync(out[3])
+        bc = np.zeros(g.n_pad, dtype=np.float64)
         depth = 0
-        for s in sources:
-            delta, sigma, labels, d = bc_source_kernel(g, s)
-            bc += np.asarray(delta, dtype=np.float64)
-            depth = max(depth, int(d))
+        with Timer() as t:
+            for b0 in range(0, g.n, K):
+                ids = np.arange(b0, b0 + K, dtype=np.int32)
+                ids[ids >= g.n] = g.n            # dummy-pad the tail
+                part, sig_b, lab_b, d = bc_batch_kernel(
+                    g, jnp.asarray(ids))
+                bc += np.asarray(part)
+                depth = max(depth, int(d))
+            last = (g.n - 1) % K
+            sigma, labels = sig_b[last], lab_b[last]
+        n_sources = g.n
     stats = Stats(elapsed_ms=t.elapsed_ms, search_depth=depth,
                   nodes_visited=g.n,
-                  edges_visited=g.m * len(list(sources)))
+                  edges_visited=g.m * n_sources)
     return BcResult(
         bc_values=(bc[: g.n] * 0.5).astype(np.float32),
         sigmas=np.asarray(sigma)[: g.n],

@@ -40,6 +40,18 @@ def test_bc_all_sources():
     np.testing.assert_allclose(res.bc_values, ref_bc, rtol=1e-5, atol=1e-6)
 
 
+def test_bc_all_sources_batched(small_random):
+    # explicit batch size exercising dummy-padded tail lanes + the
+    # multi-batch host loop (n not a multiple of batch)
+    res = bc.run(small_random, src=-1, batch=8)
+    ref_bc, ref_sigma, _ = bc_reference(small_random, src=-1)
+    np.testing.assert_allclose(res.bc_values, ref_bc, rtol=1e-4, atol=1e-5)
+    # sigmas/labels convention: those of the last source (n-1)
+    _, last_sigma, _ = bc_reference(small_random,
+                                    src=small_random.num_nodes - 1)
+    np.testing.assert_allclose(res.sigmas, last_sigma, rtol=1e-5)
+
+
 def test_bc_directed(small_random):
     res = bc.run(small_random, src=7)
     ref_bc, ref_sigma, _ = bc_reference(small_random, src=7)
