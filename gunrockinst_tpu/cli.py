@@ -103,6 +103,21 @@ def main(argv=None) -> int:
     elif prim == "sssp":
         from gunrockinst_tpu.primitives import sssp as m
         src = resolve_source(args.src, csr)
+        if args.instrumented:
+            # INST relaunch loop analog (the reference instruments the
+            # SSSP enactor too): per-round trace lines with duty split
+            from gunrockinst_tpu.utils.instrument import (ProgressTracer,
+                                                          SteppedSssp)
+            tracer = ProgressTracer(verbose=True)
+            stepped = SteppedSssp(csr.to_device(with_csc=False), src,
+                                  tracer=tracer)
+            dist = stepped.run_to_completion()
+            print(f"instrumented run: {tracer.summary()}")
+            if not args.quick:
+                from gunrockinst_tpu.oracles import sssp_reference
+                ref, _ = sssp_reference(csr, src)
+                return _validate(prim, np.array_equal(dist, ref))
+            return 0
         res = _timed(args, lambda: m.run(
             csr, src, delta=args.delta_factor,
             mark_preds=args.mark_pred))
@@ -115,6 +130,20 @@ def main(argv=None) -> int:
 
     elif prim == "cc":
         from gunrockinst_tpu.primitives import cc as m
+        if args.instrumented:
+            # cc_enactor.cuh:300 runs the INST relaunch loop as well
+            from gunrockinst_tpu.utils.instrument import (ProgressTracer,
+                                                          SteppedCc)
+            tracer = ProgressTracer(verbose=True)
+            stepped = SteppedCc(csr.to_device(with_csc=False),
+                                tracer=tracer)
+            comp = stepped.run_to_completion()
+            print(f"instrumented run: {tracer.summary()}")
+            if not args.quick:
+                from gunrockinst_tpu.oracles import cc_reference
+                return _validate(prim, np.array_equal(comp,
+                                                      cc_reference(csr)))
+            return 0
         res = _timed(args, lambda: m.run(csr))
         res.stats.display(prim)
         print(f"number of components: {res.num_components}")

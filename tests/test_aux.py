@@ -75,3 +75,25 @@ def test_api_sssp_topk_bc(small_random):
     bc_vals = api.bc(small_random.row_offsets, small_random.col_indices,
                      src=3)
     assert bc_vals.shape == (small_random.num_nodes,)
+
+
+def test_stepped_sssp_cc_and_duty(small_random):
+    from gunrockinst_tpu.primitives.base import device_graph
+    from gunrockinst_tpu.utils.instrument import (ProgressTracer,
+                                                  SteppedCc, SteppedSssp)
+    from gunrockinst_tpu.oracles import cc_reference, sssp_reference
+    g = device_graph(small_random)
+    tracer = ProgressTracer()
+    s = SteppedSssp(g, 0, tracer=tracer)
+    dist = s.run_to_completion()
+    ref, _ = sssp_reference(small_random, 0)
+    np.testing.assert_array_equal(dist, ref)
+    # avg_duty: device time is a sub-share of wall time, in (0, 1]
+    assert 0.0 < tracer.avg_duty <= 1.0
+    assert tracer.summary()["device_ms"] > 0
+
+    tracer2 = ProgressTracer()
+    c = SteppedCc(g, tracer=tracer2)
+    comp = c.run_to_completion()
+    np.testing.assert_array_equal(comp, cc_reference(small_random))
+    assert len(tracer2.records) >= 1
