@@ -1,17 +1,12 @@
-"""Mega-kernel BFS — the ENTIRE search in one pallas call.
+"""Mega sweep kernel — one FULL pull sweep per pallas call, grid=(1,).
 
 The per-level sweepers (pallas_advance_v2/v3) are grid-step-bound:
-every level pays the Mosaic pipeline floor per grid step plus a full
-O(m) sweep launch.  This kernel removes both costs:
+every level pays the Mosaic pipeline floor per grid step.  This kernel
+instead streams the whole tile set itself:
 
-  * grid=(1,): the level loop (`lax.while_loop`) runs INSIDE the
-    kernel; edge tiles stream HBM->VMEM via explicit 4-deep
-    `make_async_copy` chunks (4 outstanding copies reach the ~88 GB/s
-    in-kernel DMA ceiling on v5e — 2-deep gets only ~57,
-    scripts/microbench_dma.py).
-  * frontier / visited / next bitmaps and the bit-plane label words
-    live in VMEM scratch across the whole search — zero HBM traffic
-    for state between levels.
+  * edge tiles stream HBM->VMEM via explicit 4-deep `make_async_copy`
+    chunks (4 outstanding copies reach the ~88 GB/s in-kernel DMA
+    ceiling on v5e — 2-deep gets only ~57, scripts/microbench_dma.py).
   * source-region skipping: a region (32K source vertices, 8 frontier
     word-rows) whose frontier slice is all-zero contributes nothing to
     a pull sweep, so its subtiles are neither DMA'd nor computed that
@@ -20,15 +15,22 @@ O(m) sweep launch.  This kernel removes both costs:
     chunks and spill into the next region's subtiles without masking
     (their metadata is absolute, their contribution is valid level-d
     work).
+  * the BFS level loop lives OUTSIDE, in XLA (bfs_pallas.get_fused_bfs
+    jits a lax.while_loop of sweeps): measured 5.2 ms/sweep at rmat-s20
+    vs 8.3 ms/level for the earlier whole-search-in-kernel variant,
+    and the bit-plane label state leaves VMEM, moving the size ceiling
+    from ~rmat-s21 to ~s24 (sweep_fits).
 
 Tile placement uses the v3 scheme (pallas_advance_v3.py: hub tiles +
 suffix-OR runs + per-lane singles, ~0.67 slot utilization on rmat-s20
 vs v2's 0.46); the packed idx stream is one (1,128) int32 row per
-subtile.  Reference parity: this is the TPU re-expression of the
+subtile; the hub cross-lane OR-roll tree is batched per UNROLL group
+(_hub_group).  Reference parity: this is the TPU re-expression of the
 reference's fused BFS hot loop (gunrock/app/bfs/bfs_enactor.cuh:
 267-556 — advance+filter until the device `done` flag flips; here the
-done flag is the in-VMEM frontier emptiness test, and the filter's
-visited-bitmask cull is the `new = touched & ~visited` word op).
+done flag is the frontier emptiness test in the XLA loop, and the
+filter's visited-bitmask cull is the `new = touched & ~visited` word
+op).
 """
 
 from __future__ import annotations
@@ -61,24 +63,6 @@ def _cdiv(a, b):
 
 # v5e has ~16 MiB VMEM/core; leave headroom for Mosaic's own needs.
 VMEM_LIMIT_BYTES = 14 * 1024 * 1024
-
-
-def mega_vmem_bytes(n: int) -> int:
-    """VMEM residency of the mega kernel for an n-vertex graph: the
-    bit-plane label output + visited/frontier/next word maps scale with
-    n (planes*rows*512 B) on top of the fixed DMA buffers.  Crosses
-    VMEM_LIMIT_BYTES near rmat s21."""
-    num_regions = max(1, _cdiv(n + 1, REGION))
-    rows = num_regions * ROWS_PER_REGION          # n_words // 128
-    planes = max((n + 1).bit_length(), 1)
-    state = (planes + 3) * rows * 128 * 4  # planes + visited + fr + nx
-    bufs = (2 * SLOTS * CHUNK * 8 * 128 * 4        # hub + pk edge bufs
-            + SLOTS * CHUNK * 128 * 4)             # pk idx bufs
-    return state + bufs
-
-
-def mega_fits(n: int) -> bool:
-    return mega_vmem_bytes(n) <= VMEM_LIMIT_BYTES
 
 
 @dataclasses.dataclass
@@ -162,20 +146,33 @@ def _gather_active(src, row_base, fr_ref):
     return (g >> (src & 31)) & 1
 
 
-def _hub_subtile(t, buf_ref, k, hrb, hor, hol, fr_ref, nx_ref, lane_iota):
-    packed = buf_ref[pl.ds(8 * k, 8), :]
-    src = packed & SRC_MASK
-    shift = packed >> SHIFT_BITS
-    active = _gather_active(src, hrb[t], fr_ref)
-    bitval = active << shift
-    v = bitval[0:4, :] | bitval[4:8, :]
-    v = v[0:2, :] | v[2:4, :]
-    v = v[0:1, :] | v[1:2, :]
+def _hub_group(base, buf_ref, kbase, hrb, hor, hol, fr_ref, nx_ref,
+               lane_iota):
+    """UNROLL consecutive hub subtiles with the cross-lane OR tree
+    BATCHED: the per-subtile (1,128) sublane-reduced rows stack into
+    one (UNROLL,128) register, so the 7-step all-lane roll tree runs
+    once per group instead of once per subtile (saves ~14 wide ops per
+    subtile — the rolls were the single biggest hub cost in
+    scripts/microbench_gather.py)."""
+    rows = []
+    for u in range(UNROLL):
+        k = kbase + u
+        packed = buf_ref[pl.ds(8 * k, 8), :]
+        src = packed & SRC_MASK
+        shift = packed >> SHIFT_BITS
+        active = _gather_active(src, hrb[base + u], fr_ref)
+        bitval = active << shift
+        v = bitval[0:4, :] | bitval[4:8, :]
+        v = v[0:2, :] | v[2:4, :]
+        rows.append(v[0:1, :] | v[1:2, :])
+    vg = jnp.concatenate(rows, axis=0)           # (UNROLL, 128)
     for sh in (64, 32, 16, 8, 4, 2, 1):
-        v = v | pltpu.roll(v, sh, axis=1)
-    placed = jnp.where(lane_iota == hol[t], v, 0)
-    r = hor[t]
-    nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
+        vg = vg | pltpu.roll(vg, sh, axis=1)     # per-row all-lane OR
+    for u in range(UNROLL):
+        t = base + u
+        placed = jnp.where(lane_iota == hol[t], vg[u:u + 1, :], 0)
+        r = hor[t]
+        nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
 
 def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
@@ -203,25 +200,27 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
     nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
 
-def _make_kernel(R: int, rows: int, planes: int):
-    """R regions, `rows` frontier word-rows, `planes` label bit-planes."""
+def _make_step_kernel(R: int, rows: int, planes: int):
+    """One full BFS LEVEL per pallas call: pull sweep + visited cull +
+    bit-plane label update, all in VMEM.  The level loop lives in XLA
+    (bfs_pallas.get_fused_bfs jits a lax.while_loop of steps) but the
+    per-level word-map updates stay in-kernel — XLA elementwise on this
+    backend runs at only ~3.7 GB/s with ~70 us/op overhead (measured,
+    scripts/microbench_gather.py era probes), so a 21-plane XLA update
+    cost ~3 ms/level, more than half a sweep.  `planes` is the STATIC
+    bit-plane count: callers compile with a small cap (depth < 2^planes)
+    and lazily recompile with the full bit_length(n) only for
+    deeper-than-cap searches (road-network diameters)."""
 
-    def kernel(src_ref, hrb, hor, hol, hrs, prb, por, prs,     # scalars
-               hub_hbm, pk_hbm, pkidx_hbm,                     # HBM
-               planes_ref, visited_ref, depth_ref,             # outputs
-               fr_ref, nx_ref, hbuf, pbuf, pibuf, sems):       # scratch
+    def kernel(dscal, hrb, hor, hol, hrs, prb, por, prs,  # scalars
+               hub_hbm, pk_hbm, pkidx_hbm,                # HBM tiles
+               fr_ref, vw_ref, pl_ref,                    # VMEM inputs
+               nfw_ref, vwo_ref, plo_ref,                 # VMEM outputs
+               tw, hbuf, pbuf, pibuf, sems):              # scratch
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
         mle, sub_iota, shifts, dead = _v3_consts()
-
-        # --- init: frontier = {src}
-        fr_ref[:] = jnp.zeros_like(fr_ref)
-        s = src_ref[0]
-        srow = s >> 12                       # word row (128 words/row)
-        slane = (s >> 5) & 127
-        fr_ref[pl.ds(srow, 1), :] = jnp.where(
-            lane_iota == slane, jnp.int32(1) << (s & 31), 0)
-        visited_ref[:] = fr_ref[:]
-        planes_ref[:] = jnp.zeros_like(planes_ref)
+        out_ref = tw
+        out_ref[:] = jnp.zeros_like(out_ref)
 
         def hub_dma(start, c, slot):
             return pltpu.make_async_copy(
@@ -239,9 +238,6 @@ def _make_kernel(R: int, rows: int, planes: int):
                 pibuf.at[slot], sems.at[2, slot])
 
         def hub_region(start, nchunks):
-            """SLOTS-deep pipelined sweep of nchunks CHUNKs of hub
-            subtiles: DMA chunk c+SLOTS at each chunk boundary, wait
-            chunk c, compute its UNROLL-groups."""
             for i in range(SLOTS):
                 @pl.when(i < nchunks)
                 def _():
@@ -257,9 +253,8 @@ def _make_kernel(R: int, rows: int, planes: int):
                     hub_dma(start, c, slot).wait()
 
                 base = start + c * CHUNK + g * UNROLL
-                for u in range(UNROLL):
-                    _hub_subtile(base + u, hbuf.at[slot], g * UNROLL + u,
-                                 hrb, hor, hol, fr_ref, nx_ref, lane_iota)
+                _hub_group(base, hbuf.at[slot], g * UNROLL,
+                           hrb, hor, hol, fr_ref, out_ref, lane_iota)
 
                 @pl.when(g == GROUPS - 1)
                 def _():
@@ -290,7 +285,7 @@ def _make_kernel(R: int, rows: int, planes: int):
                 for u in range(UNROLL):
                     _pk_subtile_v3(base + u, pbuf.at[slot],
                                    pibuf.at[slot], g * UNROLL + u,
-                                   prb, por, fr_ref, nx_ref,
+                                   prb, por, fr_ref, out_ref,
                                    mle, sub_iota, shifts, dead)
 
                 @pl.when(g == GROUPS - 1)
@@ -308,57 +303,68 @@ def _make_kernel(R: int, rows: int, planes: int):
 
             @pl.when(reg_any)
             def _():
-                # chunk counts round up; overshoot into the next
-                # region is valid level work (monotone OR), and the
-                # CHUNK-subtile dummy tail keeps the last DMA in-bounds
                 hs, he = hrs[r], hrs[r + 1]
                 hub_region(hs, (he - hs + CHUNK - 1) // CHUNK)
                 ps, pe = prs[r], prs[r + 1]
                 pk_region(ps, (pe - ps + CHUNK - 1) // CHUNK)
             return 0
 
-        def cond(carry):
-            depth, cont = carry
-            return cont
+        jax.lax.fori_loop(0, R, region, 0)
 
-        def body(carry):
-            depth, _ = carry
-            nx_ref[:] = jnp.zeros_like(nx_ref)
-            jax.lax.fori_loop(0, R, region, 0)
-            new = nx_ref[:] & ~visited_ref[:]
-            visited_ref[:] = visited_ref[:] | new
-            d = depth + 1
-            for b in range(planes):
-                @pl.when(((d >> b) & 1) == 1)
-                def _():
-                    planes_ref[pl.ds(b * rows, rows), :] = (
-                        planes_ref[pl.ds(b * rows, rows), :] | new)
-            fr_ref[:] = new
-            return d, jnp.any(new != 0)
-
-        depth, _ = jax.lax.while_loop(cond, body,
-                                      (jnp.int32(0), jnp.bool_(True)))
-        depth_ref[0, 0] = depth
+        # level update: filter visited, mark bit planes of depth d
+        nfw = out_ref[:] & ~vw_ref[:]
+        nfw_ref[:] = nfw
+        vwo_ref[:] = vw_ref[:] | nfw
+        plo_ref[:] = pl_ref[:]
+        d = dscal[0]
+        for b in range(planes):
+            @pl.when(((d >> b) & 1) == 1)
+            def _():
+                plo_ref[pl.ds(b * rows, rows), :] = (
+                    plo_ref[pl.ds(b * rows, rows), :] | nfw)
 
     return kernel
 
 
-class MegaBfs:
-    """Whole-search BFS kernel wrapper. __call__(src) -> (bit-plane
-    label words, visited words, depth)."""
+def sweep_vmem_bytes(n: int, planes: int = 8) -> int:
+    """VMEM residency of the step kernel: frontier/visited/next word
+    maps, 2x the bit-plane block (in + out), the touched scratch, and
+    the fixed DMA buffers."""
+    num_regions = max(1, _cdiv(n + 1, REGION))
+    rows = num_regions * ROWS_PER_REGION
+    state = (4 + 2 * planes) * rows * 128 * 4
+    bufs = (2 * SLOTS * CHUNK * 8 * 128 * 4
+            + SLOTS * CHUNK * 128 * 4)
+    return state + bufs
 
-    def __init__(self, plan: MegaPlan, interpret: bool = False):
-        if not interpret and not mega_fits(plan.n):
+
+def sweep_fits(n: int, planes: int = 8) -> bool:
+    return sweep_vmem_bytes(n, planes) <= VMEM_LIMIT_BYTES
+
+
+class MegaStepper:
+    """Compiled BFS level-step kernel: (frontier, visited, planes,
+    depth) -> (next frontier, visited', planes'), one full pull sweep
+    per call (~7-9x the grid-stepped v3 sweep throughput: 4-deep manual
+    DMA vs the Mosaic grid pipeline).  `planes` is static — depth must
+    stay < 2^planes (the fused driver recompiles with the full
+    bit_length(n) when a search exceeds the cap)."""
+
+    def __init__(self, plan: MegaPlan, planes: int = 8,
+                 interpret: bool = False):
+        if not interpret and not sweep_fits(plan.n, planes):
             raise ValueError(
-                f"mega kernel VMEM residency {mega_vmem_bytes(plan.n)} B "
-                f"exceeds the {VMEM_LIMIT_BYTES} B budget for n={plan.n}; "
-                "use the 'pallas' (fused v3) traversal mode instead")
+                f"step kernel VMEM residency "
+                f"{sweep_vmem_bytes(plan.n, planes)} B exceeds "
+                f"{VMEM_LIMIT_BYTES} B for n={plan.n}, planes={planes}")
         self.plan = plan
+        self.planes = planes
         R = plan.num_regions
         rows = plan.n_words // 128
         self.rows = rows
+        self.n_words = plan.n_words
 
-        self.scalar_args = (
+        self.hub_args = (
             jax.device_put(plan.hub_row_base),
             jax.device_put(plan.hub_out_row),
             jax.device_put(plan.hub_out_lane),
@@ -367,13 +373,13 @@ class MegaBfs:
             jax.device_put(plan.pk_out_row),
             jax.device_put(plan.pk_rs),
         )
-        self.hbm_args = (
+        self.pk_args = (
             jax.device_put(plan.hub_tiles),
             jax.device_put(plan.pk_tiles),
             jax.device_put(plan.pk_idx),
         )
 
-        kernel = _make_kernel(R, rows, plan.planes)
+        kernel = _make_step_kernel(R, rows, planes)
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -383,33 +389,33 @@ class MegaBfs:
                     pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec(memory_space=pltpu.ANY),
                     pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 out_specs=[
                     pl.BlockSpec(memory_space=pltpu.VMEM),
                     pl.BlockSpec(memory_space=pltpu.VMEM),
-                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
                 ],
                 scratch_shapes=[
-                    pltpu.VMEM((rows, 128), jnp.int32),   # frontier
-                    pltpu.VMEM((rows, 128), jnp.int32),   # next
-                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # hub
-                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # pk
-                    pltpu.VMEM((SLOTS, CHUNK, 128), jnp.int32),      # idx
+                    pltpu.VMEM((rows, 128), jnp.int32),      # touched
+                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
+                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
+                    pltpu.VMEM((SLOTS, CHUNK, 128), jnp.int32),
                     pltpu.SemaphoreType.DMA((3, SLOTS)),
                 ],
             ),
             out_shape=[
-                jax.ShapeDtypeStruct((plan.planes * rows, 128), jnp.int32),
                 jax.ShapeDtypeStruct((rows, 128), jnp.int32),
-                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((planes * rows, 128), jnp.int32),
             ],
             interpret=interpret,
         )
-        self._jit = jax.jit(
-            lambda src, scal, hbm: self.fn(src, *scal, *hbm))
 
-    def __call__(self, src: int):
-        src_arr = jnp.asarray([src], jnp.int32)
-        planes, visited, depth = self._jit(src_arr, self.scalar_args,
-                                           self.hbm_args)
-        return planes, visited, depth
+        def step_with(scal, hbm, fw, vw, pln, d):
+            d_arr = jnp.asarray([d], jnp.int32)
+            return self.fn(d_arr, *scal, *hbm, fw, vw, pln)
+
+        self.step_with = step_with

@@ -112,132 +112,127 @@ def _post_preds(labels, esrc, edst, n_pad: int):
 _fused_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def get_fused_bfs(csr: CsrGraph):
-    """Whole-search BFS as ONE jitted program: `lax.while_loop` around
-    a per-level direction choice (the reference DOBFS insight,
-    dobfs_enactor.cuh:397):
+def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
+    """Whole-search BFS as ONE jitted program: `lax.while_loop` of
+    Pallas pull sweeps over word-space frontier/visited/label-plane
+    state — the single-sweep mega kernel (ops/pallas_mega.py
+    MegaSweeper, 4-deep manual DMA + region skip) when the graph fits
+    its VMEM word maps, else the grid-stepped v3 sweeper.
 
-      * LIGHT level (frontier out-edges <= E_CAP): XLA push — compact
-        the frontier bitmap, expand edges by scanned-degree
-        searchsorted (the LB GetEdgeCounts->Scan->BinarySearch shape,
-        edge_map_partitioned/kernel.cuh:242-559), scatter dst bits.
-        Costs O(n + E_CAP) instead of an O(m) sweep: on rmat-s20 the
-        source level and the low-degree tail levels (|F| 41K but only
-        49K out-edges) stop paying 229 MB full sweeps.
-      * HEAVY level: the v2 Pallas pull sweep.
+    PULL-ONLY by measurement: an XLA push branch for thin levels (the
+    reference's DOBFS direction switch, dobfs_enactor.cuh:397) was
+    built and profiled out — on this backend the primitives a push
+    level needs are 10-100x off roofline (s20, device-timed:
+    nonzero-over-1M 11.4 ms, searchsorted 131K-into-64K 17.7 ms,
+    1M-scatter 7.4 ms; a full Pallas sweep is 5.2 ms), so a push level
+    can never beat a sweep and even the light/heavy *decision* (a
+    masked degree reduction, 5.1 ms) costs more than it can save.
 
     Avoids per-level host dispatch entirely (the reference's
     per-iteration kernel launches + D2H queue-length reads collapse
     into a single launch)."""
-    hit = _fused_cache.get(csr)
+    from gunrockinst_tpu.ops.pallas_mega import (MegaStepper,
+                                                 build_mega_plan,
+                                                 sweep_fits)
+    n = csr.num_nodes
+    if use_mega is None:
+        use_mega = sweep_fits(n)
+    cache = _fused_cache.setdefault(csr, {})
+    hit = cache.get(use_mega)
     if hit is not None:
         return hit
-    n = csr.num_nodes
-    m = csr.num_edges
     n_pad = ((n + 128) // 128) * 128
-    sweeper = get_pull_sweeper_v3(csr)
-    n_words = sweeper.n_words
+    interp = jax.default_backend() == "cpu"
 
-    # light-level capacities: a level whose frontier fits both goes
-    # through the XLA push branch
-    V_CAP = int(min(1 << 16, n_pad))
-    E_CAP = int(min(1 << 17, max(m, 1)))
+    # label depths are stored as bit-plane word bitmaps so the whole
+    # level loop runs in word space; planes unpack to per-vertex labels
+    # once, after convergence (on the host).
+    PLANES_FULL = max((n + 1).bit_length(), 1)
 
-    # push-side CSR (device args — never closure-captured: big arrays
-    # inline as constants and blow the remote compile, CLAUDE.md).
-    # degree is laid out BIT-PLANE-MAJOR (32, rows, 128):
-    # deg_planes[b, r, l] = out-degree of vertex (r*128+l)*32 + b, so
-    # frontier-masked degree sums never leave the 128-minor layout
-    # (a canonical (n_pad,) unpack costs ~25 ms at s20 — the 32-minor
-    # relayout — and would dominate the whole search).
-    deg_np = np.pad(np.diff(csr.row_offsets), (0, n_words * 32 - n))
-    rowsN = n_words // 128
-    deg_planes_np = np.ascontiguousarray(
-        deg_np.reshape(rowsN, 128, 32).transpose(2, 0, 1)).astype(np.int32)
-    push_args = (
-        jnp.asarray(csr.row_offsets[:-1].astype(np.int32)),  # starts (n,)
-        jnp.asarray(csr.col_indices.astype(np.int32)),       # dsts (m,)
-        jnp.asarray(deg_planes_np),                          # (32,rows,128)
-    )
-
-    # label depths are stored as PLANES bit-plane word bitmaps so the
-    # whole level loop runs in word space; the planes are unpacked to
-    # per-vertex labels once, after convergence (on the host).
-    PLANES = max((n + 1).bit_length(), 1)
-
-    @jax.jit
-    def bfs_full_impl(src, hub_args, pk_args, push):
-        starts, dsts, deg_planes = push
+    if use_mega:
+        csc_g = csr.transposed()
+        plan = build_mega_plan(csc_g.row_offsets, csc_g.col_indices, n)
+        n_words = plan.n_words
         rows = n_words // 128
-        f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
-        fw0 = pack_bitmap(f0, n_words)
-        planes0 = jnp.zeros((PLANES, rows, 128), jnp.int32)
-        bidx = jnp.arange(32, dtype=jnp.int32)
+        impls = {}
 
-        def fw_bits(fw):
-            """(rows,128) words -> (32,rows,128) 0/1 planes; stays in
-            128-minor layout (no relayout)."""
-            return (fw[None, :, :] >> bidx[:, None, None]) & 1
+        def make_impl(P):
+            stepper = MegaStepper(plan, planes=P, interpret=interp)
 
-        def push_level(fw):
-            """One LIGHT level: compact -> LB expand -> plane scatter.
-            All id math is in plane-major flat order
-            p = b*rows*128 + word, so nonzero/scatter never touch the
-            canonical vertex order."""
-            fbits = fw_bits(fw)
-            flat = fbits.reshape(32 * rows * 128)
-            p = jnp.nonzero(flat, size=V_CAP,
-                            fill_value=32 * rows * 128)[0].astype(jnp.int32)
-            b = p // (rows * 128)
-            w = p - b * (rows * 128)
-            ids = w * 32 + b                     # vertex ids (or >= n)
-            ok = ids < n
-            idc = jnp.minimum(ids, n - 1)
-            dg = jnp.where(ok, deg_planes.reshape(
-                32 * rows * 128)[jnp.minimum(p, 32 * rows * 128 - 1)], 0)
-            cum = jnp.cumsum(dg)
-            total = cum[-1]
-            st = jnp.where(ok, starts[idc], 0)
-            j = jnp.arange(E_CAP, dtype=jnp.int32)
-            k = jnp.searchsorted(cum, j, side="right").astype(jnp.int32)
-            k = jnp.minimum(k, V_CAP - 1)
-            base = jnp.where(k > 0, cum[jnp.maximum(k - 1, 0)], 0)
-            eidx = st[k] + (j - base)
-            valid = j < total
-            dst = jnp.where(valid, dsts[jnp.clip(eidx, 0, m - 1)], 0)
-            dpos = (dst % 32) * (rows * 128) + dst // 32
-            tflat = jnp.zeros((32 * rows * 128,), jnp.int32).at[dpos].max(
-                valid.astype(jnp.int32))
-            tplanes = tflat.reshape(32, rows, 128)
-            # plane-major pack: words = OR_b plane[b] << b
-            tw = jnp.zeros((rows, 128), jnp.int32)
-            for bb in range(32):
-                tw = tw | (tplanes[bb] << bb)
-            return tw
+            @jax.jit
+            def impl(src, scal, hbm):
+                f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
+                fw0 = pack_bitmap(f0, n_words)
+                planes0 = jnp.zeros((P * rows, 128), jnp.int32)
 
-        def cond(c):
-            planes, fw, vw, depth, cont = c
-            return cont & (depth < n)
+                def cond(c):
+                    planes, fw, vw, depth, cont = c
+                    return cont & (depth < n)
 
-        def body(c):
-            planes, fw, vw, depth, _ = c
-            fbits = fw_bits(fw)
-            push_edges = jnp.sum(fbits * deg_planes)
-            fcount = jnp.sum(fbits)
-            light = (push_edges <= E_CAP) & (fcount <= V_CAP)
-            tw = jax.lax.cond(
-                light, push_level,
-                lambda w: sweeper.sweep_with(hub_args, pk_args, w), fw)
-            nfw = tw & ~vw             # next frontier, in word space
-            vw = vw | nfw
-            d = depth + 1
-            bits = (d >> jnp.arange(PLANES, dtype=jnp.int32)) & 1
-            planes = planes | (nfw[None, :, :] * bits[:, None, None])
-            return planes, nfw, vw, d, jnp.any(nfw != 0)
+                def body(c):
+                    planes, fw, vw, depth, _ = c
+                    d = depth + 1
+                    nfw, vw2, planes2 = stepper.step_with(
+                        scal, hbm, fw, vw, planes, d)
+                    return planes2, nfw, vw2, d, jnp.any(nfw != 0)
 
-        planes, fw, vw, depth, _ = jax.lax.while_loop(
-            cond, body, (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
-        return planes, vw, depth
+                planes, fw, vw, depth, _ = jax.lax.while_loop(
+                    cond, body,
+                    (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
+                return planes, vw, depth
+
+            return impl, stepper
+
+        def run_impl(src):
+            # depth cap 2^P - 1: the 8-plane step covers depth <= 255
+            # (every scale-free graph); deeper searches (road-network
+            # diameters) lazily recompile with the full plane count.
+            for P in ((min(8, PLANES_FULL), PLANES_FULL)
+                      if PLANES_FULL > 8 else (PLANES_FULL,)):
+                if P not in impls:
+                    impls[P] = make_impl(P)
+                impl, stepper = impls[P]
+                planes, vw, depth = impl(src, stepper.hub_args,
+                                         stepper.pk_args)
+                if int(depth) < (1 << P):
+                    return planes, vw, int(depth), P
+            return planes, vw, int(depth), P
+    else:
+        sweeper = get_pull_sweeper_v3(csr)
+        n_words = sweeper.n_words
+        rows = n_words // 128
+        P_XLA = PLANES_FULL
+
+        @jax.jit
+        def bfs_full_impl(src, hub_args, pk_args):
+            f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
+            fw0 = pack_bitmap(f0, n_words)
+            planes0 = jnp.zeros((P_XLA, rows, 128), jnp.int32)
+
+            def cond(c):
+                planes, fw, vw, depth, cont = c
+                return cont & (depth < n)
+
+            def body(c):
+                planes, fw, vw, depth, _ = c
+                tw = sweeper.sweep_with(hub_args, pk_args, fw)
+                nfw = tw & ~vw         # next frontier, in word space
+                vw = vw | nfw
+                d = depth + 1
+                bits = (d >> jnp.arange(P_XLA, dtype=jnp.int32)) & 1
+                planes = planes | (nfw[None, :, :] * bits[:, None, None])
+                return planes, nfw, vw, d, jnp.any(nfw != 0)
+
+            planes, fw, vw, depth, _ = jax.lax.while_loop(
+                cond, body,
+                (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
+            return planes, vw, depth
+
+        def run_impl(src):
+            planes, vw, depth = bfs_full_impl(src, sweeper.hub_args,
+                                              sweeper.pk_args)
+            return planes.reshape(P_XLA * rows, 128), vw, int(depth), \
+                P_XLA
 
     def _host_unpack_words(words_np, n):
         """(rows,128) int32 words -> (n,) uint8 bits, on the host.
@@ -249,11 +244,10 @@ def get_fused_bfs(csr: CsrGraph):
     def bfs_full(src):
         import time as _time
         t0 = _time.perf_counter()
-        planes, vw, depth = bfs_full_impl(src, sweeper.hub_args,
-                                          sweeper.pk_args, push_args)
-        # scalar fetch forces the whole while_loop to complete (axon
-        # block_until_ready returns early; see primitives/base.py::sync)
-        depth = int(depth)
+        # int(depth) inside run_impl is the scalar fetch that forces
+        # the whole while_loop to complete (axon block_until_ready
+        # returns early; see primitives/base.py::sync)
+        planes, vw, depth, P = run_impl(src)
         device_ms = (_time.perf_counter() - t0) * 1e3
         # final label assembly on host (device-side bit unpack pays a
         # costly 32-minor-dim relayout; numpy does it in milliseconds);
@@ -261,10 +255,10 @@ def get_fused_bfs(csr: CsrGraph):
         # -- extraction, outside the Enact timing window (the reference
         # times Enact() only; Extract runs after the GpuTimer stops,
         # tests/bfs/test_bfs.cu:402-431)
-        planes_np = np.asarray(planes)
+        planes_np = np.asarray(planes).reshape(P, rows * 128)
         visited = _host_unpack_words(np.asarray(vw), n).astype(bool)
         labels = np.zeros(n, dtype=np.int32)
-        for b in range(min(max(depth, 1).bit_length(), PLANES)):
+        for b in range(min(max(depth, 1).bit_length(), P)):
             labels |= _host_unpack_words(planes_np[b], n).astype(
                 np.int32) << b
         labels[~visited] = INF32_NP
@@ -272,67 +266,27 @@ def get_fused_bfs(csr: CsrGraph):
             labels[int(src)] = 0
         return labels, depth, device_ms
 
-    _fused_cache[csr] = bfs_full
+    cache[use_mega] = bfs_full
     return bfs_full
 
 
 INF32_NP = np.iinfo(np.int32).max
 
 
-_mega_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
-
-
 def get_mega_bfs(csr: CsrGraph):
-    """Whole-search mega-kernel BFS (ops/pallas_mega.py): ONE pallas
-    call runs the entire level loop in-kernel with manual HBM->VMEM
-    edge streaming and source-region frontier skipping. Same contract
-    as get_fused_bfs: fn(src) -> (labels, depth, device_ms)."""
-    hit = _mega_cache.get(csr)
-    if hit is not None:
-        return hit
-    from gunrockinst_tpu.ops.pallas_mega import (MegaBfs, build_mega_plan,
-                                                 mega_fits)
-    n = csr.num_nodes
-    if jax.default_backend() != "cpu" and not mega_fits(n):
-        # graph too big for the mega kernel's VMEM-resident state —
-        # fall back to the fused v2 path (same contract) rather than
-        # fail the Mosaic compile
-        import warnings
-        warnings.warn(f"mega BFS over VMEM budget at n={n}; "
-                      "falling back to fused v2 sweep")
-        fn = get_fused_bfs(csr)
-        _mega_cache[csr] = fn
-        return fn
-    csc = csr.transposed()
-    plan = build_mega_plan(csc.row_offsets, csc.col_indices, n)
-    mb = MegaBfs(plan, interpret=jax.default_backend() == "cpu")
-    rows = plan.n_words // 128
+    """Mega-mode BFS: the hybrid fused driver over the single-sweep
+    mega kernel (ops/pallas_mega.py MegaSweeper).  Falls back to the
+    grid-stepped v3 sweeper when the graph's word maps exceed the sweep
+    kernel's VMEM budget (≈ rmat-s24).  Same contract as get_fused_bfs:
+    fn(src) -> (labels, depth, device_ms).
 
-    def _unpack(words_np):
-        return np.unpackbits(words_np.reshape(-1).view(np.uint8),
-                             bitorder="little")[:n]
-
-    def bfs_full(src):
-        import time as _time
-        t0 = _time.perf_counter()
-        planes, vw, depth = mb(int(src))
-        depth = int(np.asarray(depth)[0, 0])   # scalar fetch = sync
-        device_ms = (_time.perf_counter() - t0) * 1e3
-        # extraction (outside the Enact timing window, like the
-        # reference's problem->Extract)
-        planes_np = np.asarray(planes)
-        visited = _unpack(np.asarray(vw)).astype(bool)
-        labels = np.zeros(n, dtype=np.int32)
-        for b in range(min(max(depth, 1).bit_length(), plan.planes)):
-            labels |= _unpack(planes_np[b * rows:(b + 1) * rows]).astype(
-                np.int32) << b
-        labels[~visited] = INF32_NP
-        if 0 <= int(src) < n:
-            labels[int(src)] = 0
-        return labels, depth, device_ms
-
-    _mega_cache[csr] = bfs_full
-    return bfs_full
+    (Supersedes the in-kernel-level-loop MegaBfs whole-search kernel:
+    moving the level loop to XLA costs one (rows,128) VMEM round trip
+    per level but gains the XLA push branch for thin levels — on
+    rmat-s20 three of five levels are thin — and drops the bit-plane
+    label state out of VMEM.)"""
+    from gunrockinst_tpu.ops.pallas_mega import sweep_fits
+    return get_fused_bfs(csr, use_mega=sweep_fits(csr.num_nodes))
 
 
 def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True,
@@ -342,7 +296,8 @@ def bfs_pallas_fused(csr: CsrGraph, src: int, mark_preds: bool = True,
     the Enact-equivalent traversal time (extraction excluded)."""
     n = csr.num_nodes
     n_pad = ((n + 128) // 128) * 128
-    fn = get_mega_bfs(csr) if variant == "mega" else get_fused_bfs(csr)
+    fn = (get_mega_bfs(csr) if variant == "mega"
+          else get_fused_bfs(csr, use_mega=False))
     labels_np, depth, device_ms = fn(src)
     preds_np = None
     if mark_preds:

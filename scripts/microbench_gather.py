@@ -136,12 +136,19 @@ def make_kernel(variant):
                     else:
                         active = gather_row(src, meta_ref[t], words_ref)
                     bitval = active << shift
-                    if variant.endswith("hub"):
-                        acc = acc | hub_reduce(bitval, meta_ref[t],
-                                               lane_iota)
+                    if "hub" in variant:
+                        placed = hub_reduce(bitval, meta_ref[t],
+                                            lane_iota)
                     else:
-                        acc = acc | pk_reduce(
+                        placed = pk_reduce(
                             bitval, ibuf.at[slot][pl.ds(k, 1), :], cs)
+                    if variant.endswith("rmw"):
+                        # mega-style dynamic-row read-modify-write
+                        r = meta_ref[t] & 7
+                        out_ref[pl.ds(r, 1), :] = (
+                            out_ref[pl.ds(r, 1), :] | placed)
+                    else:
+                        acc = acc | placed
 
             @pl.when((g == GROUPS - 1) & (c + SLOTS < nchunks))
             def _():
@@ -188,7 +195,7 @@ def main():
     meta = jax.device_put(meta)
 
     for variant in ("dma_only", "tree8_hub", "row1_hub", "tree8_pk",
-                    "row1_pk"):
+                    "row1_pk", "tree8_hub_rmw", "tree8_pk_rmw"):
         fn = jax.jit(build(variant))
         out = fn(meta, tiles, idx, words)
         np.asarray(out)     # sync

@@ -10,7 +10,7 @@ from gunrockinst_tpu.primitives import cc, pr, sssp, topk
 
 # ---------------- SSSP ----------------
 
-@pytest.mark.parametrize("mode", ["delta", "bellman"])
+@pytest.mark.parametrize("mode", ["delta", "bellman", "sparse"])
 def test_sssp_weighted_random(small_random, mode):
     res = sssp.run(small_random, 0, mode=mode)
     dist, preds = sssp_reference(small_random, 0)
