@@ -88,6 +88,20 @@ def bfs_sparse(graph: DeviceGraph, src, mark_preds: bool = True,
     frontier's total out-degree; `lax.switch` executes only the chosen
     tier. mode="auto" falls back to the dense sweep for heavy levels
     (neighbor count > m_pad/4).
+
+    Measured status (scripts/bench_road.py): this path does NOT beat
+    the dense sweep anywhere we can measure.  Per level it pays an
+    O(n) bitmap compaction + O(n) scatter floor, so on bounded-degree
+    graphs (road networks, m ~= 4n) the dense sweep's single O(m)
+    pass is cheaper (grid side=256: dense 249 ms vs auto 547 ms on
+    CPU); and on power-law graphs the light levels where LB expansion
+    should win are drowned by the axon backend's 10-100x-off-roofline
+    sparse XLA primitives (nonzero/searchsorted/scatter — see
+    CLAUDE.md).  It is kept as the LB-advance parity mode
+    (`edge_map_partitioned/kernel.cuh`, CLI --traversal-mode=sparse)
+    and because `ops.advance.advance_sparse` is the engine of SSSP's
+    winning sparse mode, where the relax set is pre-masked and the
+    compaction amortizes over 3-5x fewer fat rounds.
     """
     from gunrockinst_tpu.ops.advance import advance_sparse, degree_sum
 

@@ -43,9 +43,12 @@ def salsa_kernel(graph: DeviceGraph, max_iter: int = 50):
     out_nodes = jnp.maximum(jnp.sum((outdeg > 0).astype(jnp.float32)), 1.0)
     in_nodes = jnp.maximum(jnp.sum((indeg > 0).astype(jnp.float32)), 1.0)
 
-    hub0 = jnp.where(jnp.arange(n_pad) <= graph.n, 1.0 / out_nodes, 0.0
+    # strictly < n: the dummy vertex (id n) must start at 0 (it would be
+    # zeroed by the outdeg/indeg masks after one iteration anyway, but
+    # keep the invariant that pad state is always 0)
+    hub0 = jnp.where(jnp.arange(n_pad) < graph.n, 1.0 / out_nodes, 0.0
                      ).astype(jnp.float32)
-    auth0 = jnp.where(jnp.arange(n_pad) <= graph.n, 1.0 / in_nodes, 0.0
+    auth0 = jnp.where(jnp.arange(n_pad) < graph.n, 1.0 / in_nodes, 0.0
                       ).astype(jnp.float32)
 
     def body(_, carry):

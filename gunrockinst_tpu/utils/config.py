@@ -22,8 +22,9 @@ def standard_parser(prim: str) -> argparse.ArgumentParser:
         prog=f"gunrockinst-tpu {prim}",
         description=f"{prim} driver (reference tests/{prim}/test_{prim}.cu "
                     "analog)")
-    p.add_argument("graph_type", choices=["market", "rmat"],
-                   help="graph source")
+    p.add_argument("graph_type", choices=["market", "rmat", "grid"],
+                   help="graph source ('grid' = road-network-class "
+                        "2-D lattice)")
     p.add_argument("graph_file", nargs="?", default=None,
                    help=".mtx path (market)")
     p.add_argument("--undirected", action="store_true",
@@ -54,6 +55,11 @@ def standard_parser(prim: str) -> argparse.ArgumentParser:
     p.add_argument("--rmat-scale", type=int, default=10)
     p.add_argument("--rmat-edgefactor", type=int, default=16)
     p.add_argument("--rmat-seed", type=int, default=0)
+    # grid (road-network analog) knobs
+    p.add_argument("--grid-side", type=int, default=256,
+                   help="grid graph side length (n = side^2)")
+    p.add_argument("--grid-diagonal", action="store_true",
+                   help="8-neighborhood grid edges")
     # per-primitive knobs (harmless if unused)
     p.add_argument("--delta", type=float, default=0.85,
                    help="PR damping / HITS mixing")
@@ -87,5 +93,8 @@ def load_graph(args) -> "CsrGraph":
         if not args.graph_file:
             raise SystemExit("market graph requires a .mtx path")
         return load_market(args.graph_file, undirected=args.undirected)
+    if args.graph_type == "grid":
+        from gunrockinst_tpu.graph.lattice import grid_graph
+        return grid_graph(args.grid_side, diagonal=args.grid_diagonal)
     return rmat_graph(args.rmat_scale, args.rmat_edgefactor,
                       undirected=args.undirected, seed=args.rmat_seed)
