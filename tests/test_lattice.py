@@ -70,6 +70,29 @@ def test_grid_cc_single_component():
     assert res.num_components == 1
 
 
+def test_grid_bfs_dist_words_deep_exchange():
+    """Boundary-exchange BFS on a high-diameter graph: dozens of
+    word-exchange rounds (the rmat tests only exercise depth ~4)."""
+    from gunrockinst_tpu.oracles import bfs_reference as bfs_ref
+    from gunrockinst_tpu.parallel import edge_mesh
+    from gunrockinst_tpu.parallel.dist_words import (bfs_dist_words,
+                                                     shard_graph_by_dst)
+    side = 16
+    csr = grid_graph(side)
+    ref_labels, ref_preds = bfs_ref(csr, 0)
+    for nd in (1, 4, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(csr, mesh)
+        labels, preds, depth, traffic = bfs_dist_words(sg, 0, mesh)
+        np.testing.assert_array_equal(np.asarray(labels)[:sg.n],
+                                      ref_labels)
+        np.testing.assert_array_equal(np.asarray(preds)[:sg.n],
+                                      ref_preds)
+        # dist_words counts exchange ROUNDS: levels plus the trailing
+        # empty round that detects termination
+        assert depth == 2 * (side - 1) + 1
+
+
 def test_cli_grid_source(capsys):
     from gunrockinst_tpu.cli import main
     rc = main(["bfs", "grid", "--grid-side=12", "--src=0",
