@@ -91,11 +91,23 @@ def main():
 
     best = None
     errors = []
+    # per-mode budget: the .bench_cache/xla compile cache is wiped
+    # between rounds, so the first run of each pallas mode is a 5-20+
+    # min cold compile through the axon tunnel; cap it so one stuck
+    # compile can't starve the other modes (and the dense fallback
+    # below) of the driver's overall budget.
+    mode_budget = int(os.environ.get("BENCH_MODE_BUDGET_S", "1500"))
     for mode in modes:
         target = csr if mode in ("pallas", "mega") else g
         try:
-            res = bfs.run(target, src, mark_preds=False,
-                          traversal_mode=mode)
+            with _Budget(mode_budget):
+                res = bfs.run(target, src, mark_preds=False,
+                              traversal_mode=mode)
+        except _Budget.Expired:
+            errors.append(f"{mode}: compile/run budget "
+                          f"({mode_budget}s) expired")
+            log(f"# mode={mode} SKIPPED: budget {mode_budget}s expired")
+            continue
         except Exception as e:
             errors.append(f"{mode}: {e}")
             log(f"# mode={mode} FAILED: {e}")
@@ -110,6 +122,22 @@ def main():
             f"{res.stats.edges_visited} edges, {gteps:.4f} GTEPS")
         if best is None or gteps > best:
             best = gteps
+
+    # ---- guaranteed fallback: plain-XLA dense sweep compiles in
+    # ~1-2 min even stone cold; a modest number beats no number ----
+    if best is None:
+        try:
+            log("# all fast modes unavailable; falling back to dense")
+            gd = DeviceGraph.build(csr, with_csc=False) if g is None else g
+            with _Budget(mode_budget):
+                res = bfs.run(gd, src, mark_preds=False,
+                              traversal_mode="dense")
+            best = res.stats.edges_visited / (res.stats.elapsed_ms * 1e6)
+            log(f"# mode=dense(fallback): {res.stats.elapsed_ms:.2f} ms, "
+                f"{best:.4f} GTEPS")
+        except Exception as e:
+            errors.append(f"dense-fallback: {e}")
+            log(f"# dense fallback FAILED: {e}")
 
     # ---- headline JSON: print NOW, before any secondary metric ----
     if best is None:
