@@ -93,10 +93,10 @@ def main():
     errors = []
     # per-mode budget: the .bench_cache/xla compile cache is wiped
     # between rounds, so the first run of each pallas mode is a 5-20+
-    # min cold compile through the axon tunnel; cap it so one stuck
+    # min cold compile through the axon tunnel; a generous cap so a hung
     # compile can't starve the other modes (and the dense fallback
     # below) of the driver's overall budget.
-    mode_budget = int(os.environ.get("BENCH_MODE_BUDGET_S", "1500"))
+    mode_budget = int(os.environ.get("BENCH_MODE_BUDGET_S", "2700"))
     for mode in modes:
         target = csr if mode in ("pallas", "mega") else g
         try:
