@@ -91,22 +91,30 @@ def main():
 
     best = None
     errors = []
-    # per-mode budget: the .bench_cache/xla compile cache is wiped
-    # between rounds, so the first run of each pallas mode is a 5-20+
-    # min cold compile through the axon tunnel; a generous cap so a hung
-    # compile can't starve the other modes (and the dense fallback
-    # below) of the driver's overall budget.
-    mode_budget = int(os.environ.get("BENCH_MODE_BUDGET_S", "2700"))
+    # headline-phase deadline: the .bench_cache/xla compile cache is
+    # wiped between rounds, so the first run of each pallas mode is a
+    # 5-45 min cold compile through the axon tunnel.  The whole mode
+    # loop shares ONE deadline (alarms must not nest — SIGALRM is a
+    # single timer) so the headline JSON is guaranteed to print well
+    # inside the driver's overall budget no matter how many modes hang.
+    headline_budget = int(os.environ.get("BENCH_HEADLINE_BUDGET_S",
+                                         "2400"))
+    deadline = time.time() + headline_budget
     for mode in modes:
+        remaining = int(deadline - time.time())
+        if remaining <= 60:
+            errors.append(f"{mode}: headline budget exhausted")
+            log(f"# mode={mode} SKIPPED: headline budget exhausted")
+            continue
         target = csr if mode in ("pallas", "mega") else g
         try:
-            with _Budget(mode_budget):
+            with _Budget(remaining):
                 res = bfs.run(target, src, mark_preds=False,
                               traversal_mode=mode)
         except _Budget.Expired:
-            errors.append(f"{mode}: compile/run budget "
-                          f"({mode_budget}s) expired")
-            log(f"# mode={mode} SKIPPED: budget {mode_budget}s expired")
+            errors.append(f"{mode}: compile/run exceeded the "
+                          f"{headline_budget}s headline budget")
+            log(f"# mode={mode} SKIPPED: headline budget expired")
             continue
         except Exception as e:
             errors.append(f"{mode}: {e}")
@@ -129,7 +137,8 @@ def main():
         try:
             log("# all fast modes unavailable; falling back to dense")
             gd = DeviceGraph.build(csr, with_csc=False) if g is None else g
-            with _Budget(mode_budget):
+            with _Budget(int(os.environ.get("BENCH_FALLBACK_BUDGET_S",
+                                            "600"))):
                 res = bfs.run(gd, src, mark_preds=False,
                               traversal_mode="dense")
             best = res.stats.edges_visited / (res.stats.elapsed_ms * 1e6)
