@@ -1,0 +1,757 @@
+"""Value mega kernel — per-destination MIN / ADD over all edges.
+
+The round-2 verdict's three missing fast paths (PageRank at s20, a
+weighted SSSP sweep, a CC sweep) are all the same operation the BFS
+pull sweep performs with values instead of bits:
+
+    out[dst]  <-  comb over in-edges of  value[src] (+ w)   comb = min|add
+
+The blocker was always the VALUE GATHER: `value[src]` for 1024 random
+sources needs dynamic addressing Mosaic only offers as a lane gather on
+(8,128) operands, so the addressable window per select-tree row is
+tiny.  The resolution here is the BIT-MAJOR accumulator layout
+
+    acc[(v % 32) * rows_w + (v // 32) // 128,  (v // 32) % 128] = value[v]
+
+(32 row-groups, one per position-in-word).  For a 4096-vertex source
+region, EACH of the 32 row-groups contributes exactly ONE row, so a
+full exact 32-bit value gather is a 32-step select tree over single
+rows — ~8x cheaper than bit-plane staging (which pays 8 rows x 32
+planes) and width-independent: f32 and int cost the same.  The same
+layout makes the destination side a single dynamic-row read-modify-
+write per (bit-position g, word-row): the g-loop walks the 32 bit
+positions of the output word-row in batches of 8, sharing the roll/
+route work across a (8,128) register of per-g partial rows.
+
+Tile geometry is pallas_advance_v2's hub/packed packer on cells
+(source region, destination word): region 4096 costs packing density
+(cells shrink ~8x vs the BFS kernel's 32K regions; ~0.44 slot
+utilization on rmat-s20) but the sweep is compute-bound, so cheap
+gathers win.  Streaming is pallas_mega.py's: grid=(1,), 4-deep manual
+`make_async_copy` chunks, per-region subtile ranges — with one change:
+region chunk lists are PADDED to CHUNK multiples instead of letting
+chunks overshoot into the next region (overshoot re-processes subtiles,
+which is only correct for idempotent combines; ADD is not).
+
+Modes (one kernel, static config):
+  * min + weights, f32 — SSSP Bellman relax round: gathers reassemble
+    the exact f32 pattern and the add/min run in f32, so the fixpoint
+    equals the Dijkstra oracle bitwise.
+    (gunrock/app/sssp/sssp_functor.cuh:64 — atomicMin(dist[src]+w).)
+  * min, i32 — CC min-label propagation round.
+    (gunrock/app/cc/cc_functor.cuh:19-367 hooking collapses to this.)
+  * add, f32 — PageRank's rank/deg accumulate, exact f32 in a fixed
+    (deterministic) summation order.
+    (gunrock/app/pr/pr_functor.cuh:49-64.)
+
+Rounds are Jacobi: candidates read a round-start snapshot (`vals`) while
+the RMW updates `accv`, so results are order-independent and match the
+numpy oracles exactly.  Delta work-saving rides a `changed` word bitmap
+exactly like the BFS frontier: min modes gather candidates only from
+sources whose value changed last round (exact — comb is monotone over
+the carried acc), add mode skips regions whose staged contributions are
+all zero (adding zero is exact); the next round's bitmap is produced
+in-kernel by the RMW (old > new).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gunrockinst_tpu.ops.pallas_advance_v2 import (
+    TILE_E, HUB_T, SHIFT_BITS, SRC_MASK, LANES_USED, BLOCKS)
+
+REGION_V = 8192     # source vertices per region.  Every 4096 vertices
+                    # add one row per bit-major row-group to the gather
+                    # select tree (RPG below); bigger regions buy
+                    # packing density (supercells end in a partial tail
+                    # tile, so more edges per supercell = less waste)
+                    # at the price of a deeper gather.  8192 balances
+                    # the two on rmat-s20.
+RPG = REGION_V // 4096   # value/word rows per region per row-group
+NUM_LSEL = 6        # independent lane-placement idx rows per tile (a
+                    # word may own this many 8-slot lane chunks in one
+                    # tile before deferring to the next; 6 lets cells
+                    # up to 48 edges land in one tile)
+CHUNK = 32          # subtiles per DMA chunk
+SLOTS = 4
+VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+SMEM_META_LIMIT = 3 * 256 * 1024   # per-subtile scalar metadata budget
+
+I32_MAX = np.int32(2**31 - 1)
+DUMMY_PACKED = np.int64(SRC_MASK)  # src field all-ones: no real vertex
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+# --------------------------------------------------------------------
+# plan
+# --------------------------------------------------------------------
+
+@dataclasses.dataclass
+class ValuePlan:
+    n: int
+    m: int
+    n_words: int
+    num_regions: int
+    has_weights: bool
+    # hub flavor: one destination WORD (32 vertices) per subtile
+    hub_tiles: np.ndarray       # (Th*8, 128) int32 src|shift<<26
+    hub_meta: np.ndarray        # (Th,) int32: q<<19 | row<<7 | lane
+    hub_rs: np.ndarray          # (R+1,) int32 region -> subtile range
+    hub_w: Optional[np.ndarray]  # (Th*8, 128) int32 (f32 bits)
+    # packed flavor: one destination word-ROW (4096 vertices) per subtile
+    pk_tiles: np.ndarray
+    pk_meta: np.ndarray         # (Tp,) int32: q<<12 | row
+    pk_idx: np.ndarray          # (Tp*8, 128) rows 0/1 = group/lane idx
+    pk_rs: np.ndarray
+    pk_w: Optional[np.ndarray]
+
+    @property
+    def rows_w(self):
+        return self.n_words // 128
+
+    @property
+    def num_subtiles(self):
+        return self.hub_meta.shape[0] + self.pk_meta.shape[0]
+
+
+def build_value_plan(adj_row_offsets: np.ndarray,
+                     adj_col_indices: np.ndarray, n: int,
+                     weights: Optional[np.ndarray] = None) -> ValuePlan:
+    """Hub/packed value tiles from the pull-direction adjacency (CSC:
+    row = dst, col = src).  pallas_advance_v2.build_pull_plan_v2's cell
+    geometry and packer with (a) 4096-vertex source regions, (b)
+    per-edge weight tiles aligned slot-for-slot with the edge tiles,
+    (c) per-region subtile ranges padded to CHUNK multiples, (d)
+    per-subtile metadata packed into one int32 each."""
+    m = int(adj_col_indices.shape[0])
+    dst = np.repeat(np.arange(n, dtype=np.int64),
+                    np.diff(adj_row_offsets)).astype(np.int64)
+    src = adj_col_indices.astype(np.int64)
+    num_regions = max(1, _cdiv(n + 1, REGION_V))
+    n_words = num_regions * (REGION_V // 32)
+    has_w = weights is not None
+    wbits = (np.ascontiguousarray(weights, np.float32).view(np.int32)
+             if has_w else None)
+
+    region = src // REGION_V
+    word = dst // 32
+    packed_val = (src | ((dst % 32) << SHIFT_BITS)).astype(np.int64)
+
+    order = np.lexsort((word, region))
+    region, word = region[order], word[order]
+    packed_val = packed_val[order]
+    wsorted = wbits[order] if has_w else None
+
+    if m:
+        cell_change = np.ones(m, dtype=bool)
+        cell_change[1:] = ((region[1:] != region[:-1])
+                           | (word[1:] != word[:-1]))
+        cell_start = np.nonzero(cell_change)[0]
+        cell_count = np.diff(np.append(cell_start, m))
+        cell_region = region[cell_start]
+        cell_word = word[cell_start]
+    else:
+        cell_start = cell_count = cell_region = cell_word = np.zeros(
+            0, np.int64)
+
+    def take_edges(start, cnt, cap):
+        pv = np.full(cap, DUMMY_PACKED, np.int64)
+        pv[:cnt] = packed_val[start: start + cnt]
+        if has_w:
+            wv = np.zeros(cap, np.int32)
+            wv[:cnt] = wsorted[start: start + cnt]
+        else:
+            wv = None
+        return pv, wv
+
+    # ---------------- hub flavor ----------------
+    hub_cell = cell_count >= HUB_T
+    hub_tiles_list, hub_w_list, hub_meta = [], [], []
+    for c in np.nonzero(hub_cell)[0]:
+        s, cnt = int(cell_start[c]), int(cell_count[c])
+        w = int(cell_word[c])
+        q = int(cell_region[c])
+        for off in range(0, cnt, TILE_E):
+            take = min(TILE_E, cnt - off)
+            pv, wv = take_edges(s + off, take, TILE_E)
+            hub_tiles_list.append(pv.reshape(8, 128))
+            hub_w_list.append(wv.reshape(8, 128) if has_w else None)
+            hub_meta.append((q, w // 128, w % 128))
+
+    # ---------------- packed flavor ----------------
+    # group chunks only when they come out FULL (64 slots): a 64-slot
+    # group holding a 10-edge cell is 16% utilization, and with small
+    # source regions most cells are small — everything else goes to
+    # 8-slot lane chunks.  A word may own up to NUM_LSEL lane chunks in
+    # ONE tile (idx rows 1..NUM_LSEL are independent placement maps),
+    # so medium cells no longer cascade across tiles.
+    chunks = []
+    for c in np.nonzero(~hub_cell & (cell_count > 0))[0]:
+        s, cnt = int(cell_start[c]), int(cell_count[c])
+        w = int(cell_word[c])
+        super_key = (int(cell_region[c]), w // 128)
+        wl = w % 128
+        cls, off = 0, 0
+        while cnt - off >= 64:
+            chunks.append((super_key, cls, True, wl, s + off, 64))
+            off += 64
+            cls += 1
+        while cnt - off > 0:
+            take = min(8, cnt - off)
+            chunks.append((super_key, cls, False, wl, s + off, take))
+            off += take
+            cls += 1
+
+    from collections import defaultdict, deque
+    by_super = defaultdict(lambda: ([], []))
+    for ch in chunks:
+        (by_super[ch[0]][0] if ch[2] else by_super[ch[0]][1]).append(ch)
+
+    pk_tiles_list, pk_w_list, pk_meta = [], [], []
+    pk_idx_rows_list = []   # per tile: (1 + NUM_LSEL, 128) idx rows
+    for super_key, (gchunks, lchunks) in sorted(by_super.items()):
+        q, out_row = super_key
+        gq, lq = deque(gchunks), deque(lchunks)
+        while gq or lq:
+            tile = np.full((8, 128), DUMMY_PACKED, np.int64)
+            wtile = np.zeros((8, 128), np.int32) if has_w else None
+            idx_g = np.full(128, 120, np.int32)
+            idx_ls = [np.full(128, 127, np.int32)
+                      for _ in range(NUM_LSEL)]
+            used_g = set()
+            used_l = [set() for _ in range(NUM_LSEL)]
+            defer = []
+            block = 0
+            while block < BLOCKS and gq:
+                ch = gq.popleft()
+                wl = ch[3]
+                if wl in used_g:
+                    defer.append(ch)
+                    continue
+                _, _, _, _, es, cnt = ch
+                pv, wv = take_edges(es, cnt, 64)
+                lanes = slice(8 * block, 8 * block + 8)
+                tile[:, lanes] = pv.reshape(8, 8)
+                if has_w:
+                    wtile[:, lanes] = wv.reshape(8, 8)
+                idx_g[wl] = 8 * block
+                used_g.add(wl)
+                block += 1
+            defer.reverse()
+            gq.extendleft(defer)
+            defer = []
+            lane_cursor = 8 * block
+            while lane_cursor < LANES_USED and lq:
+                ch = lq.popleft()
+                wl = ch[3]
+                row = next((r for r in range(NUM_LSEL)
+                            if wl not in used_l[r]), None)
+                if row is None:
+                    defer.append(ch)
+                    continue
+                _, _, _, _, es, cnt = ch
+                pv, wv = take_edges(es, cnt, 8)
+                tile[:, lane_cursor] = pv
+                if has_w:
+                    wtile[:, lane_cursor] = wv
+                idx_ls[row][wl] = lane_cursor
+                used_l[row].add(wl)
+                lane_cursor += 1
+            defer.reverse()
+            lq.extendleft(defer)
+            pk_tiles_list.append(tile)
+            pk_w_list.append(wtile)
+            pk_meta.append((q, out_row))
+            pk_idx_rows_list.append(np.stack([idx_g] + idx_ls))
+
+    # -------- region-aligned CHUNK padding + region ranges --------
+    R = num_regions
+    dummy_tile = np.full((8, 128), DUMMY_PACKED, np.int64)
+    dummy_w = np.zeros((8, 128), np.int32)
+    dummy_idx = np.stack([np.full(128, 120, np.int32)]
+                         + [np.full(128, 127, np.int32)] * 7)
+
+    def finalize(tiles_list, w_list, meta_list, idx_list, is_hub):
+        regions_of = np.asarray([mt[0] for mt in meta_list], np.int64)
+        bounds = np.searchsorted(regions_of, np.arange(R + 1))
+        out_tiles, out_w, out_meta, out_idx = [], [], [], []
+        rs = [0]
+        for r in range(R):
+            lo, hi = int(bounds[r]), int(bounds[r + 1])
+            cnt = hi - lo
+            padded = _cdiv(cnt, CHUNK) * CHUNK if cnt else 0
+            out_tiles += tiles_list[lo:hi] + [dummy_tile] * (padded - cnt)
+            if has_w:
+                out_w += w_list[lo:hi] + [dummy_w] * (padded - cnt)
+            if is_hub:
+                out_meta += [(q << 19) | (row << 7) | lane
+                             for q, row, lane in meta_list[lo:hi]]
+            else:
+                out_meta += [(q << 12) | row
+                             for q, row in meta_list[lo:hi]]
+            out_meta += [0] * (padded - cnt)
+            if idx_list is not None:
+                out_idx += idx_list[lo:hi] + [dummy_idx] * (padded - cnt)
+            rs.append(rs[-1] + padded)
+        # trailing dummy CHUNK: traced DMA slice shapes must fit the
+        # operand even for flavors/regions that never run
+        out_tiles += [dummy_tile] * CHUNK
+        out_meta += [0] * CHUNK
+        if has_w:
+            out_w += [dummy_w] * CHUNK
+        if idx_list is not None:
+            out_idx += [dummy_idx] * CHUNK
+        tiles = np.concatenate(out_tiles, axis=0).astype(np.int32)
+        meta = np.asarray(out_meta, np.int32)
+        rs_a = np.asarray(rs, np.int32)
+        wt = (np.concatenate(out_w, axis=0) if has_w else None)
+        idx = (None if idx_list is None else
+               np.concatenate(out_idx, axis=0).astype(np.int32))
+        return tiles, meta, rs_a, wt, idx
+
+    hub_tiles, hub_meta_a, hub_rs, hub_w, _ = finalize(
+        hub_tiles_list, hub_w_list, hub_meta, None, True)
+    pad_rows = np.full((7 - NUM_LSEL, 128), 127, np.int32)
+    pk_idx_list = [np.concatenate([rows, pad_rows])
+                   for rows in pk_idx_rows_list]
+    pk_tiles, pk_meta_a, pk_rs, pk_w, pk_idx = finalize(
+        pk_tiles_list, pk_w_list, pk_meta, pk_idx_list, False)
+
+    return ValuePlan(
+        n=n, m=m, n_words=n_words, num_regions=num_regions,
+        has_weights=has_w,
+        hub_tiles=hub_tiles, hub_meta=hub_meta_a, hub_rs=hub_rs,
+        hub_w=hub_w,
+        pk_tiles=pk_tiles, pk_meta=pk_meta_a, pk_idx=pk_idx, pk_rs=pk_rs,
+        pk_w=pk_w,
+    )
+
+
+# --------------------------------------------------------------------
+# bit-major layout helpers (host)
+# --------------------------------------------------------------------
+
+def to_bitmajor_np(vals: np.ndarray, rows_w: int) -> np.ndarray:
+    """(N,) int32/f32 vertex-major -> (32*rows_w, 128) int32 bit-major:
+    out[g*rows_w + r, l] = vals[(r*128 + l)*32 + g]."""
+    total = rows_w * 128 * 32
+    v = np.zeros(total, np.int32)
+    x = np.ascontiguousarray(vals)
+    if x.dtype != np.int32:
+        x = x.astype(np.float32).view(np.int32)
+    v[: x.shape[0]] = x
+    return np.ascontiguousarray(
+        v.reshape(rows_w, 128, 32).transpose(2, 0, 1)
+    ).reshape(32 * rows_w, 128)
+
+
+def from_bitmajor_np(acc: np.ndarray, n: int,
+                     dtype=np.int32) -> np.ndarray:
+    """(32*rows_w, 128) int32 -> (n,) vertex-major values."""
+    rows_w = acc.shape[0] // 32
+    v = np.ascontiguousarray(
+        acc.reshape(32, rows_w, 128).transpose(1, 2, 0)).reshape(-1)
+    v = v[:n]
+    if dtype == np.float32:
+        return v.view(np.float32).copy()
+    return v.copy()
+
+
+def words_from_mask(mask: np.ndarray, n_words: int) -> np.ndarray:
+    """(n,) bool -> (n_words/128, 128) int32 frontier-word bitmap."""
+    bits = np.zeros(n_words * 32, np.uint8)
+    bits[: mask.shape[0]] = mask.astype(np.uint8)
+    words = np.packbits(bits, bitorder="little").view(np.int32)
+    return words.reshape(-1, 128)
+
+
+def mask_from_words(words: np.ndarray, n: int) -> np.ndarray:
+    return np.unpackbits(words.reshape(-1).view(np.uint8),
+                         bitorder="little")[:n].astype(bool)
+
+
+def bitmajor_fill_np(value, rows_w: int) -> np.ndarray:
+    x = (np.float32(value).view(np.int32) if isinstance(value, float)
+         else np.int32(value))
+    return np.full((32 * rows_w, 128), x, np.int32)
+
+
+# --------------------------------------------------------------------
+# kernel
+# --------------------------------------------------------------------
+
+def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
+                       has_w: bool, use_active: bool, zero_acc: bool,
+                       track_changed: bool):
+    """One comb sweep per pallas call.  See module docstring."""
+    assert mode in ("min", "add")
+    is_min = mode == "min"
+    if is_min:
+        IDENT = np.float32(np.inf) if f32 else I32_MAX
+    else:
+        IDENT = np.float32(0.0) if f32 else np.int32(0)
+
+    def comb(a, b):
+        return jnp.minimum(a, b) if is_min else a + b
+
+    def as_val(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32) \
+            if f32 else x
+
+    def as_bits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32) if f32 else x
+
+    def kernel(hmeta, hrs, pmeta, prs,                     # scalars
+               hub_hbm, pk_hbm, pkidx_hbm, *rest):
+        if has_w:
+            hw_hbm, pw_hbm, acc_hbm, ch_ref = rest[:4]
+            rest = rest[4:]
+        else:
+            acc_hbm, ch_ref = rest[:2]
+            rest = rest[2:]
+        acc_out, chout_ref = rest[:2]
+        scratch = rest[2:]
+        if has_w:
+            (vals, accv, hbuf, pbuf, pibuf, hwbuf, pwbuf,
+             sems, csem) = scratch
+        else:
+            vals, accv, hbuf, pbuf, pibuf, sems, csem = scratch
+            hwbuf = pwbuf = None
+
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+        # ---- prologue: round-start snapshot + RMW target ----
+        cp = pltpu.make_async_copy(acc_hbm, vals, csem.at[0])
+        cp.start()
+        cp.wait()
+        if zero_acc:
+            accv[:] = jnp.zeros_like(accv)
+        else:
+            cp2 = pltpu.make_async_copy(acc_hbm, accv, csem.at[1])
+            cp2.start()
+            cp2.wait()
+        chout_ref[:] = jnp.zeros_like(chout_ref)
+
+        def candidate(packed, wtile, q):
+            src = packed & SRC_MASK
+            shift = packed >> SHIFT_BITS
+            lane = (src >> 5) & 127
+            gsrc = src & 31
+            rel = (src >> 12) - q * RPG   # value/word row within region
+            # full 32-bit value gather: RPG rows per bit-position group
+            vbits = jnp.zeros((8, 128), jnp.int32)
+            for gs in range(32):
+                base = gs * rows_w + q * RPG
+                t = jnp.zeros((8, 128), jnp.int32)
+                for rr in range(RPG):
+                    rw = jnp.broadcast_to(
+                        vals[pl.ds(base + rr, 1), :], (8, 128))
+                    t = jnp.where(
+                        rel == rr,
+                        jnp.take_along_axis(rw, lane, axis=1), t)
+                vbits = jnp.where(gsrc == gs, t, vbits)
+            v = as_val(vbits)
+            if has_w:
+                v = v + as_val(wtile)
+            if use_active:
+                cw = jnp.zeros((8, 128), jnp.int32)
+                for rr in range(RPG):
+                    crow = jnp.broadcast_to(
+                        ch_ref[pl.ds(q * RPG + rr, 1), :], (8, 128))
+                    cw = jnp.where(
+                        rel == rr,
+                        jnp.take_along_axis(crow, lane, axis=1), cw)
+                a = (cw >> (src & 31)) & 1
+                v = jnp.where(a == 1, v, IDENT)
+            # padding slots carry src == SRC_MASK (no real vertex)
+            cand = jnp.where(src == SRC_MASK, IDENT, v)
+            return cand, shift
+
+        def rmw(g, row, placed):
+            arow = pl.ds(g * rows_w + row, 1)
+            old = as_val(accv[arow, :])
+            new = comb(old, placed)
+            accv[arow, :] = as_bits(new)
+            if track_changed:
+                imp = (old > new).astype(jnp.int32) << g
+                crow = pl.ds(row, 1)
+                chout_ref[crow, :] = chout_ref[crow, :] | imp
+
+        def fold8(x):
+            y = comb(x[0:4, :], x[4:8, :])
+            y = comb(y[0:2, :], y[2:4, :])
+            return comb(y[0:1, :], y[1:2, :])
+
+        # ---- hub subtile: one destination word ----
+        def hub_subtile(t, k, buf, wbuf):
+            meta = hmeta[t]
+            q = meta >> 19
+            row = (meta >> 7) & 0xFFF
+            lane_o = meta & 127
+            packed = buf[pl.ds(8 * k, 8), :]
+            wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
+            cand, shift = candidate(packed, wtile, q)
+            for gb in range(4):
+                red = jnp.concatenate(
+                    [fold8(jnp.where(shift == gb * 8 + j, cand, IDENT))
+                     for j in range(8)], axis=0)          # (8,128)
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    red = comb(red, as_val(
+                        pltpu.roll(as_bits(red), sh, axis=1)))
+                placed = jnp.where(lane_iota == lane_o, red, IDENT)
+                for j in range(8):
+                    rmw(gb * 8 + j, row, placed[j:j + 1, :])
+
+        # ---- packed subtile: one destination word-row ----
+        def pk_subtile(t, k, buf, ibuf, wbuf):
+            meta = pmeta[t]
+            q = meta >> 12
+            row = meta & 0xFFF
+            packed = buf[pl.ds(8 * k, 8), :]
+            wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
+            cand, shift = candidate(packed, wtile, q)
+            idx = ibuf[pl.ds(8 * k, 8), :]
+            idxg = jnp.broadcast_to(idx[0:1, :], (8, 128))
+            idxls = [jnp.broadcast_to(idx[r:r + 1, :], (8, 128))
+                     for r in range(1, 1 + NUM_LSEL)]
+            for gb in range(4):
+                red = jnp.concatenate(
+                    [fold8(jnp.where(shift == gb * 8 + j, cand, IDENT))
+                     for j in range(8)], axis=0)          # (8,128)
+                redg = red
+                for sh in (1, 2, 4):
+                    redg = comb(redg, as_val(
+                        pltpu.roll(as_bits(redg), 128 - sh, axis=1)))
+                placed = as_val(jnp.take_along_axis(as_bits(redg), idxg,
+                                                    axis=1))
+                rbits = as_bits(red)
+                for idxl in idxls:
+                    placed = comb(placed, as_val(
+                        jnp.take_along_axis(rbits, idxl, axis=1)))
+                for j in range(8):
+                    rmw(gb * 8 + j, row, placed[j:j + 1, :])
+
+        # ---- streaming loops (pallas_mega.py structure) ----
+        def dma(arr, buf, bank, start, c, slot):
+            return pltpu.make_async_copy(
+                arr.at[pl.ds((start + c * CHUNK) * 8, CHUNK * 8), :],
+                buf.at[slot], sems.at[bank, slot])
+
+        def hub_region(start, nchunks):
+            for i in range(SLOTS):
+                @pl.when(i < nchunks)
+                def _():
+                    dma(hub_hbm, hbuf, 0, start, i, i).start()
+                    if has_w:
+                        dma(hw_hbm, hwbuf, 3, start, i, i).start()
+
+            def body(j, _):
+                c = j // CHUNK
+                k = j - c * CHUNK
+                slot = c % SLOTS
+
+                @pl.when(k == 0)
+                def _():
+                    dma(hub_hbm, hbuf, 0, start, c, slot).wait()
+                    if has_w:
+                        dma(hw_hbm, hwbuf, 3, start, c, slot).wait()
+
+                hub_subtile(start + c * CHUNK + k, k, hbuf.at[slot],
+                            hwbuf.at[slot] if has_w else None)
+
+                @pl.when(k == CHUNK - 1)
+                def _():
+                    @pl.when(c + SLOTS < nchunks)
+                    def _():
+                        dma(hub_hbm, hbuf, 0, start, c + SLOTS,
+                            slot).start()
+                        if has_w:
+                            dma(hw_hbm, hwbuf, 3, start, c + SLOTS,
+                                slot).start()
+                return 0
+            jax.lax.fori_loop(0, nchunks * CHUNK, body, 0)
+
+        def pk_region(start, nchunks):
+            for i in range(SLOTS):
+                @pl.when(i < nchunks)
+                def _():
+                    dma(pk_hbm, pbuf, 1, start, i, i).start()
+                    dma(pkidx_hbm, pibuf, 2, start, i, i).start()
+                    if has_w:
+                        dma(pw_hbm, pwbuf, 4, start, i, i).start()
+
+            def body(j, _):
+                c = j // CHUNK
+                k = j - c * CHUNK
+                slot = c % SLOTS
+
+                @pl.when(k == 0)
+                def _():
+                    dma(pk_hbm, pbuf, 1, start, c, slot).wait()
+                    dma(pkidx_hbm, pibuf, 2, start, c, slot).wait()
+                    if has_w:
+                        dma(pw_hbm, pwbuf, 4, start, c, slot).wait()
+
+                pk_subtile(start + c * CHUNK + k, k, pbuf.at[slot],
+                           pibuf.at[slot],
+                           pwbuf.at[slot] if has_w else None)
+
+                @pl.when(k == CHUNK - 1)
+                def _():
+                    @pl.when(c + SLOTS < nchunks)
+                    def _():
+                        dma(pk_hbm, pbuf, 1, start, c + SLOTS,
+                            slot).start()
+                        dma(pkidx_hbm, pibuf, 2, start, c + SLOTS,
+                            slot).start()
+                        if has_w:
+                            dma(pw_hbm, pwbuf, 4, start, c + SLOTS,
+                                slot).start()
+                return 0
+            jax.lax.fori_loop(0, nchunks * CHUNK, body, 0)
+
+        def region(r, _):
+            reg_any = jnp.any(ch_ref[pl.ds(r * RPG, RPG), :] != 0)
+
+            @pl.when(reg_any)
+            def _():
+                hs, he = hrs[r], hrs[r + 1]
+                hub_region(hs, (he - hs) // CHUNK)
+                ps, pe = prs[r], prs[r + 1]
+                pk_region(ps, (pe - ps) // CHUNK)
+            return 0
+
+        jax.lax.fori_loop(0, R, region, 0)
+
+        # ---- epilogue: acc back to HBM ----
+        cp_out = pltpu.make_async_copy(accv, acc_out, csem.at[0])
+        cp_out.start()
+        cp_out.wait()
+
+    return kernel
+
+
+def value_vmem_bytes(n: int, has_w: bool) -> int:
+    num_regions = max(1, _cdiv(n + 1, REGION_V))
+    rows_w = num_regions * (REGION_V // 32) // 128
+    state = 2 * 32 * rows_w * 128 * 4          # vals + accv
+    bufs = SLOTS * CHUNK * 8 * 128 * 4 * (3 + (2 if has_w else 0))
+    ch = 2 * rows_w * 128 * 4
+    return state + bufs + ch
+
+
+def value_fits(plan: "ValuePlan") -> bool:
+    if value_vmem_bytes(plan.n, plan.has_weights) > VMEM_LIMIT_BYTES:
+        return False
+    # hub_meta + pk_meta are disjoint: one packed int32 per subtile
+    return plan.num_subtiles * 4 <= SMEM_META_LIMIT
+
+
+class ValueStepper:
+    """Compiled comb sweep: (acc bit-major, changed words) ->
+    (acc', changed').  One full Jacobi sweep per call.
+
+    mode: "min" | "add".  f32: values are f32 bit patterns (exact IEEE
+    min/add in-kernel); otherwise int32.  use_active: gather candidates
+    only from sources whose changed bit is set.  zero_acc: accumulate
+    from comb-identity instead of the carried acc (add mode).
+    """
+
+    def __init__(self, plan: ValuePlan, mode: str, f32: bool,
+                 use_active: bool = True, zero_acc: bool = False,
+                 track_changed: bool = True, interpret: bool = False):
+        if not interpret and not value_fits(plan):
+            raise ValueError(
+                f"value kernel does not fit (n={plan.n}: VMEM "
+                f"{value_vmem_bytes(plan.n, plan.has_weights)} B, "
+                f"{plan.num_subtiles} subtiles of scalar metadata); "
+                "use the XLA mode")
+        self.plan = plan
+        self.mode = mode
+        self.f32 = f32
+        rows_w = plan.rows_w
+        self.rows_w = rows_w
+        R = plan.num_regions
+        has_w = plan.has_weights
+
+        self.scal_args = (
+            jax.device_put(plan.hub_meta),
+            jax.device_put(plan.hub_rs),
+            jax.device_put(plan.pk_meta),
+            jax.device_put(plan.pk_rs),
+        )
+        hbm = [jax.device_put(plan.hub_tiles),
+               jax.device_put(plan.pk_tiles),
+               jax.device_put(plan.pk_idx)]
+        if has_w:
+            hbm += [jax.device_put(plan.hub_w),
+                    jax.device_put(plan.pk_w)]
+        self.hbm_args = tuple(hbm)
+
+        kernel = _make_value_kernel(
+            R, rows_w, mode, f32, has_w, use_active, zero_acc,
+            track_changed)
+
+        n_streams = 5 if has_w else 3
+        scratch = [
+            pltpu.VMEM((32 * rows_w, 128), jnp.int32),       # vals
+            pltpu.VMEM((32 * rows_w, 128), jnp.int32),       # accv
+            pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # hbuf
+            pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # pbuf
+            pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # pibuf
+        ]
+        if has_w:
+            scratch += [
+                pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
+                pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
+            ]
+        scratch += [
+            pltpu.SemaphoreType.DMA((n_streams, SLOTS)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+        in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (3 + (
+            2 if has_w else 0))
+        in_specs += [pl.BlockSpec(memory_space=pltpu.ANY),   # acc
+                     pl.BlockSpec(memory_space=pltpu.VMEM)]  # changed
+        self.fn = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,
+                grid=(1,),
+                in_specs=in_specs,
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),    # acc out
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # changed out
+                ],
+                scratch_shapes=scratch,
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((32 * rows_w, 128), jnp.int32),
+                jax.ShapeDtypeStruct((rows_w, 128), jnp.int32),
+            ],
+            interpret=interpret,
+        )
+
+        def step_with(scal, hbm, acc, ch):
+            return self.fn(*scal, *hbm, acc, ch)
+
+        self.step_with = step_with
+        self._jit = jax.jit(step_with)
+
+    def __call__(self, acc, ch):
+        """acc (32*rows_w,128) i32, ch (rows_w,128) i32 ->
+        (acc', changed')."""
+        return self._jit(self.scal_args, self.hbm_args, acc, ch)

@@ -54,6 +54,85 @@ def cc_kernel(graph: DeviceGraph):
     return comp, it
 
 
+import time as _time
+import weakref
+
+_planes_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_cc_planes(csr, interpret=None):
+    """Per-graph cached fused min-label propagation over the value-
+    plane kernel (ops/pallas_value.py): comp[v] <- min over undirected
+    neighbors of comp[u], whole fixpoint in ONE jitted lax.while_loop
+    of full min sweeps.  Converges in eccentricity(min-vertex) rounds —
+    small on the power-law graphs the reference benchmarks CC on — and
+    the changed-word bitmap skips settled regions, so late rounds cost
+    ~nothing.  Same fixpoint as the hook+jump cc_kernel (and the
+    reference's Soman hooking, gunrock/app/cc/cc_functor.cuh:19-367):
+    min vertex id per weakly-connected component.
+
+    Returns fn() -> (comp (n,) i32 np, iterations, device_ms)."""
+    import jax
+    import jax.numpy as jnp
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.ops.pallas_value import (
+        ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np,
+        words_from_mask)
+
+    hit = _planes_cache.get(csr)
+    if hit is not None:
+        return hit
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = csr.num_nodes
+    # weak connectivity: symmetrize (the reference's CC also treats the
+    # edge list as undirected, cc_app.cu)
+    esrc = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(csr.row_offsets))
+    edst = csr.col_indices.astype(np.int64)
+    und = CsrGraph.from_coo(CooGraph(n, esrc, edst), undirected=True)
+    ucsc = und.transposed()
+    plan = build_value_plan(ucsc.row_offsets, ucsc.col_indices, n)
+    stepper = ValueStepper(plan, mode="min", f32=False,
+                           use_active=True, interpret=interpret)
+    rows_w = plan.rows_w
+    # pad vertices (>= n) have no edges: never gathered (their changed
+    # bits stay 0), never written — init value is irrelevant
+    comp0_np = to_bitmajor_np(np.arange(n, dtype=np.int32), rows_w)
+    ch0_np = words_from_mask(np.ones(n, bool), plan.n_words)
+    limit = n + 2
+
+    @jax.jit
+    def loop(scal, hbm, acc0, ch0):
+        def cond(c):
+            acc, ch, it = c
+            return jnp.any(ch != 0) & (it < limit)
+
+        def body(c):
+            acc, ch, it = c
+            acc2, ch2 = stepper.step_with(scal, hbm, acc, ch)
+            return acc2, ch2, it + 1
+
+        acc, ch, it = jax.lax.while_loop(cond, body,
+                                         (acc0, ch0, jnp.int32(0)))
+        return acc, it
+
+    acc0 = jnp.asarray(comp0_np)
+    ch0 = jnp.asarray(ch0_np)
+
+    def fn():
+        t0 = _time.perf_counter()
+        acc, it = loop(stepper.scal_args, stepper.hbm_args, acc0, ch0)
+        it = int(it)   # scalar fetch forces completion (axon quirk)
+        device_ms = (_time.perf_counter() - t0) * 1e3
+        comp = from_bitmajor_np(np.asarray(acc), n)
+        return comp, it, device_ms
+
+    _planes_cache[csr] = fn
+    return fn
+
+
 @dataclasses.dataclass
 class CcResult:
     component_ids: np.ndarray
@@ -61,8 +140,23 @@ class CcResult:
     stats: Stats
 
 
-def run(graph: GraphLike) -> CcResult:
-    """Host entry (run_cc analog, app/cc/cc_app.cu)."""
+def run(graph: GraphLike, mode: str = "xla") -> CcResult:
+    """Host entry (run_cc analog, app/cc/cc_app.cu).  mode="planes"
+    routes through the fused value-plane min-label kernel (needs a host
+    CsrGraph; ~10-20x on large graphs, same canonical labels)."""
+    if mode == "planes":
+        from gunrockinst_tpu.graph.csr import CsrGraph
+        if not isinstance(graph, CsrGraph):
+            raise TypeError("mode='planes' needs a host CsrGraph")
+        fn = get_cc_planes(graph)
+        fn()  # warm-up (compile)
+        comp_np, it, device_ms = fn()
+        roots = int((comp_np == np.arange(graph.num_nodes)).sum())
+        stats = Stats(elapsed_ms=device_ms, search_depth=int(it),
+                      nodes_visited=graph.num_nodes,
+                      edges_visited=graph.num_edges)
+        return CcResult(component_ids=comp_np, num_components=roots,
+                        stats=stats)
     g = device_graph(graph)
     out = cc_kernel(g)
     sync(out[1])

@@ -160,6 +160,102 @@ def pr_pallas(csr, delta: float = 0.85, threshold: float = 0.01,
     return np.asarray(rank)[:n], it, device_ms
 
 
+_planes_pr_cache = weakref.WeakKeyDictionary()
+
+
+def get_pr_planes(csr, interpret=None):
+    """Per-graph cached PageRank driver over the value-plane ADD kernel
+    (ops/pallas_value.py) — the round-3 replacement for the SMEM-bound
+    pallas_spmv path, which cannot build a plan at rmat-s20.  The whole
+    iteration loop is ONE jitted lax.while_loop; rank / degree /
+    personalization state lives in the kernel's bit-major layout, so no
+    device-side transposes ever run — conversion happens once on the
+    host at exit.  Exact f32 in a fixed summation order (same update
+    rule as pr_kernel; gunrock/app/pr/pr_functor.cuh:49-88).
+
+    Region skip rides the active-frontier words: converged regions'
+    contributions are all zero, so skipping them is exact — the TPU
+    analog of the reference's shrinking PR frontier.
+
+    Returns fn(delta, threshold, src, max_iter) -> (ranks, it, ms)."""
+    from gunrockinst_tpu.oracles.ranking import remove_dangling_degrees
+    from gunrockinst_tpu.ops.pallas_value import (
+        ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np)
+
+    hit = _planes_pr_cache.get(csr)
+    if hit is not None:
+        return hit
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = csr.num_nodes
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices, n)
+    stepper = ValueStepper(plan, mode="add", f32=True, use_active=False,
+                           zero_acc=True, track_changed=False,
+                           interpret=interpret)
+    rows_w = plan.rows_w
+
+    deg_np = remove_dangling_degrees(csr).astype(np.float32)
+
+    def stage_f32(v):
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(to_bitmajor_np(v, rows_w)), jnp.float32)
+
+    deg_bm = stage_f32(np.maximum(deg_np, 1.0))
+    live_bm = stage_f32((deg_np > 0).astype(np.float32))
+    real_bm = stage_f32(np.ones(n, np.float32))
+    iota32 = jnp.arange(32, dtype=jnp.int32)
+
+    @functools.partial(jax.jit, static_argnames=("max_iter",))
+    def loop(scal, hbm, personal_bm, delta, threshold, max_iter: int):
+        rank0 = real_bm * (1.0 - delta)
+        active0 = live_bm
+
+        def cond(c):
+            rank, active, it = c
+            return jnp.any(active > 0) & (it <= max_iter)
+
+        def body(c):
+            rank, active, it = c
+            contrib = jnp.where(active > 0, rank / deg_bm, 0.0)
+            acc_in = jax.lax.bitcast_convert_type(contrib, jnp.int32)
+            a_i = (active > 0).astype(jnp.int32).reshape(32, rows_w, 128)
+            words = jnp.sum(a_i << iota32[:, None, None], axis=0)
+            acc_out, _ = stepper.step_with(scal, hbm, acc_in, words)
+            sums = jax.lax.bitcast_convert_type(acc_out, jnp.float32)
+            sums = jnp.where(live_bm > 0, sums, 0.0)
+            nxt = jnp.where(real_bm > 0,
+                            delta * sums + (1.0 - delta) * personal_bm,
+                            0.0)
+            active = ((jnp.abs(nxt - rank) > threshold)
+                      & (real_bm > 0)).astype(jnp.float32)
+            return nxt, active, it + 1
+
+        rank, active, it = jax.lax.while_loop(
+            cond, body, (rank0, active0, jnp.int32(0)))
+        return rank, it
+
+    def fn(delta=0.85, threshold=0.01, src=-1, max_iter=50):
+        if src is None or src < 0:
+            personal_bm = real_bm
+        else:
+            p = np.zeros(n, np.float32)
+            p[src] = 1.0
+            personal_bm = stage_f32(p)
+        t0 = time.perf_counter()
+        rank_bm, it = loop(stepper.scal_args, stepper.hbm_args,
+                           personal_bm, jnp.float32(delta),
+                           jnp.float32(threshold), max_iter)
+        it = int(it)   # scalar fetch forces completion (axon quirk)
+        device_ms = (time.perf_counter() - t0) * 1e3
+        acc = jax.lax.bitcast_convert_type(rank_bm, jnp.int32)
+        ranks = from_bitmajor_np(np.asarray(acc), n, np.float32)
+        return ranks, it, device_ms
+
+    _planes_pr_cache[csr] = fn
+    return fn
+
+
 @dataclasses.dataclass
 class PrResult:
     ranks: np.ndarray         # per-vertex rank
@@ -174,7 +270,25 @@ def run(graph: GraphLike, delta: float = 0.85, threshold: float = 0.01,
     """Host entry (run_pr analog, app/pr/pr_app.cu). src >= 0 enables
     personalized PageRank. normalize=True rescales ranks to sum 1.
     mode="pallas" routes the push through the pull-SpMV kernel
-    (ops/pallas_spmv.py) — exact f32, ~20x faster on large graphs."""
+    (ops/pallas_spmv.py) — exact f32 but SMEM-bound (fails to plan at
+    rmat-s20); mode="planes" routes through the value-plane ADD kernel
+    (ops/pallas_value.py) — exact f32 at any size the VMEM maps fit."""
+    if mode == "planes":
+        from gunrockinst_tpu.graph.csr import CsrGraph
+        if not isinstance(graph, CsrGraph):
+            raise TypeError("mode='planes' needs a host CsrGraph")
+        fn = get_pr_planes(graph)
+        fn(delta, threshold, src, max_iter)  # warm-up (compile)
+        ranks, it, device_ms = fn(delta, threshold, src, max_iter)
+        if normalize and ranks.sum() > 0:
+            ranks = ranks / ranks.sum()
+        n = graph.num_nodes
+        order = np.lexsort((np.arange(n), -ranks))
+        stats = Stats(elapsed_ms=device_ms, search_depth=int(it),
+                      nodes_visited=n,
+                      edges_visited=graph.num_edges * int(it))
+        return PrResult(ranks=ranks, node_ids=order.astype(np.int32),
+                        sorted_ranks=ranks[order], stats=stats)
     if mode == "pallas":
         from gunrockinst_tpu.graph.csr import CsrGraph
         if not isinstance(graph, CsrGraph):

@@ -146,6 +146,82 @@ def sssp_kernel(graph: DeviceGraph, src, delta,
     return dist, preds, it
 
 
+import time as _time
+import weakref
+
+_planes_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_sssp_planes(csr, interpret=None):
+    """Per-graph cached fused Bellman driver over the value-plane min
+    kernel (ops/pallas_value.py): whole relax loop is ONE jitted
+    lax.while_loop of full min-plus sweeps; distances/candidates stay
+    f32-bit-exact, so the fixpoint equals the Dijkstra oracle bitwise.
+    Changed-source words give BFS-style region skipping per round.
+    Re-expression of the reference's atomicMin relax rounds
+    (gunrock/app/sssp/sssp_functor.cuh:64, sssp_enactor.cuh:253-376)
+    without the near-far queue: a full-sweep round costs ~one BFS sweep
+    here, so bucketing buys nothing on this substrate.
+
+    Returns fn(src) -> (dist (n,) f32 np, iterations, device_ms)."""
+    import jax
+    import jax.numpy as jnp
+    from gunrockinst_tpu.ops.pallas_value import (
+        ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np,
+        words_from_mask, bitmajor_fill_np)
+
+    hit = _planes_cache.get(csr)
+    if hit is not None:
+        return hit
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = csr.num_nodes
+    csc = csr.transposed()
+    w = (csc.edge_values.astype(np.float32)
+         if csc.edge_values is not None
+         else np.ones(csc.col_indices.shape[0], np.float32))
+    plan = build_value_plan(csc.row_offsets, csc.col_indices, n, weights=w)
+    stepper = ValueStepper(plan, mode="min", f32=True,
+                           use_active=True, interpret=interpret)
+    rows_w = plan.rows_w
+    inf_acc = jnp.asarray(bitmajor_fill_np(float("inf"), rows_w))
+    limit = 4 * n + 8
+
+    @jax.jit
+    def loop(scal, hbm, acc0, ch0):
+        def cond(c):
+            acc, ch, it = c
+            return jnp.any(ch != 0) & (it < limit)
+
+        def body(c):
+            acc, ch, it = c
+            acc2, ch2 = stepper.step_with(scal, hbm, acc, ch)
+            return acc2, ch2, it + 1
+
+        acc, ch, it = jax.lax.while_loop(cond, body,
+                                         (acc0, ch0, jnp.int32(0)))
+        return acc, it
+
+    def fn(src):
+        # source staging: dist[src]=0.0 in bit-major
+        # (vertex v lives at row (v%32)*rows_w + (v//32)//128,
+        #  lane (v//32)%128; 0.0f bits == 0)
+        acc0 = inf_acc.at[(src % 32) * rows_w + (src // 32) // 128,
+                          (src // 32) % 128].set(0)
+        chm = np.zeros(n, bool)
+        chm[src] = True
+        ch0 = jnp.asarray(words_from_mask(chm, plan.n_words))
+        t0 = _time.perf_counter()
+        acc, it = loop(stepper.scal_args, stepper.hbm_args, acc0, ch0)
+        it = int(it)   # scalar fetch forces completion (axon quirk)
+        device_ms = (_time.perf_counter() - t0) * 1e3
+        dist = from_bitmajor_np(np.asarray(acc), n, np.float32)
+        return dist, it, device_ms
+
+    _planes_cache[csr] = fn
+    return fn
+
+
 @dataclasses.dataclass
 class SsspResult:
     dist: np.ndarray
@@ -155,7 +231,43 @@ class SsspResult:
 
 def run(graph: GraphLike, src: int, delta: Optional[float] = None,
         mode: str = "sparse", mark_preds: bool = True) -> SsspResult:
-    """Host entry (run_sssp analog, app/sssp/sssp_app.cu)."""
+    """Host entry (run_sssp analog, app/sssp/sssp_app.cu).
+    mode="planes" routes through the fused value-plane min-plus kernel
+    (needs a host CsrGraph; distances still bitwise == Dijkstra)."""
+    if mode == "planes":
+        from gunrockinst_tpu.graph.csr import CsrGraph
+        if not isinstance(graph, CsrGraph):
+            raise TypeError("mode='planes' needs a host CsrGraph")
+        if not (0 <= src < graph.num_nodes):
+            raise ValueError(
+                f"source vertex {src} out of range [0, {graph.num_nodes})")
+        if (graph.edge_values is not None
+                and np.any(graph.edge_values < 0)):
+            raise ValueError("SSSP requires non-negative edge weights")
+        fn = get_sssp_planes(graph)
+        fn(src)  # warm-up (compile)
+        dist_np, it, device_ms = fn(src)
+        preds_np = None
+        if mark_preds:
+            g = device_graph(graph)
+            n_pad = g.n_pad
+            dist_pad = jnp.asarray(np.pad(
+                dist_np, (0, n_pad - graph.num_nodes),
+                constant_values=np.inf))
+            achieves = jnp.isfinite(dist_pad[g.edge_src]) & (
+                dist_pad[g.edge_src] + g.edge_w == dist_pad[g.edge_dst])
+            preds = jnp.full((n_pad,), INT_MAX, jnp.int32).at[
+                g.edge_dst].min(jnp.where(achieves, g.edge_src, INT_MAX))
+            preds = jnp.where(jnp.isfinite(dist_pad) & (preds != INT_MAX),
+                              preds, -1)
+            preds = preds.at[src].set(-1)
+            preds_np = np.asarray(preds)[: graph.num_nodes]
+        visited = np.isfinite(dist_np)
+        deg = np.diff(graph.row_offsets)
+        stats = Stats(elapsed_ms=device_ms, search_depth=int(it),
+                      nodes_visited=int(visited.sum()),
+                      edges_visited=int(deg[visited].sum()))
+        return SsspResult(dist=dist_np, preds=preds_np, stats=stats)
     g = device_graph(graph)
     if not (0 <= src < g.n):
         raise ValueError(f"source vertex {src} out of range [0, {g.n})")

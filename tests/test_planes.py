@@ -1,0 +1,174 @@
+"""Value kernel (ops/pallas_value.py) + planes-mode primitives.
+
+Kernel-level sweeps run against numpy oracles in interpret mode;
+primitive-level planes modes (sssp/cc/pr) run against the same oracles
+the XLA modes use — same answers, different substrate.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from gunrockinst_tpu.graph.coo import CooGraph
+from gunrockinst_tpu.graph.csr import CsrGraph
+from gunrockinst_tpu.ops.pallas_value import (
+    ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np,
+    words_from_mask, mask_from_words)
+
+
+def _graph(n, m, seed, weights=True, undirected=False):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(1, 64, m).astype(np.float32) if weights else None
+    coo = CooGraph(n, rng.integers(0, n, m), rng.integers(0, n, m), vals)
+    return CsrGraph.from_coo(coo, undirected=undirected)
+
+
+def test_value_sweep_min_f32():
+    csr = _graph(500, 4000, 3)
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices,
+                            csr.num_nodes, weights=csc.edge_values)
+    stepper = ValueStepper(plan, mode="min", f32=True, use_active=True,
+                           interpret=True)
+    n = csr.num_nodes
+    rng = np.random.default_rng(4)
+    vals = rng.uniform(0, 100, n).astype(np.float32)
+    vals[rng.random(n) < 0.3] = np.inf
+    changed = rng.random(n) < 0.5
+    acc1, ch1 = stepper(
+        jnp.asarray(to_bitmajor_np(vals, plan.rows_w)),
+        jnp.asarray(words_from_mask(changed, plan.n_words)))
+    got = from_bitmajor_np(np.asarray(acc1), n, np.float32)
+    esrc = csc.col_indices
+    edst = np.repeat(np.arange(n), np.diff(csc.row_offsets))
+    cand = np.where(changed[esrc], vals[esrc] + csc.edge_values, np.inf)
+    out = vals.copy()
+    np.minimum.at(out, edst, cand.astype(np.float32))
+    np.testing.assert_array_equal(got, out)   # bitwise
+    np.testing.assert_array_equal(mask_from_words(np.asarray(ch1), n),
+                                  out < vals)
+
+
+def test_value_sweep_min_i32_and_hub():
+    # one hub destination word (>= HUB_T in-region edges)
+    rng = np.random.default_rng(7)
+    n = 2000
+    es = np.concatenate([rng.integers(0, n, 900), rng.integers(0, n, 800)])
+    ed = np.concatenate([np.full(900, 7), rng.integers(0, n, 800)])
+    csr = CsrGraph.from_coo(CooGraph(n, es, ed, None))
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices, n)
+    assert plan.hub_meta.shape[0] > 0   # hub flavor exercised
+    stepper = ValueStepper(plan, mode="min", f32=False, use_active=True,
+                           interpret=True)
+    labels = np.arange(n, dtype=np.int32)
+    acc1, _ = stepper(
+        jnp.asarray(to_bitmajor_np(labels, plan.rows_w)),
+        jnp.asarray(words_from_mask(np.ones(n, bool), plan.n_words)))
+    got = from_bitmajor_np(np.asarray(acc1), n)
+    esrc = csc.col_indices
+    edst = np.repeat(np.arange(n), np.diff(csc.row_offsets))
+    out = labels.copy()
+    np.minimum.at(out, edst, labels[esrc])
+    np.testing.assert_array_equal(got, out)
+
+
+def test_value_sweep_add_f32():
+    csr = _graph(400, 3000, 5, weights=False)
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices,
+                            csr.num_nodes)
+    stepper = ValueStepper(plan, mode="add", f32=True, use_active=False,
+                           zero_acc=True, track_changed=False,
+                           interpret=True)
+    n = csr.num_nodes
+    rng = np.random.default_rng(6)
+    contrib = rng.uniform(0, 1, n).astype(np.float32)
+    acc1, _ = stepper(
+        jnp.asarray(to_bitmajor_np(contrib, plan.rows_w)),
+        jnp.full((plan.rows_w, 128), -1, jnp.int32))
+    got = from_bitmajor_np(np.asarray(acc1), n, np.float32)
+    esrc = csc.col_indices
+    edst = np.repeat(np.arange(n), np.diff(csc.row_offsets))
+    out = np.zeros(n, np.float32)
+    np.add.at(out, edst, contrib[esrc])
+    np.testing.assert_allclose(got, out, rtol=1e-6, atol=1e-6)
+
+
+def test_value_sweep_multi_region():
+    # > 1 source region (REGION_V) exercises region ranges + rel select
+    csr = _graph(40000, 3000, 11)
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices,
+                            csr.num_nodes, weights=csc.edge_values)
+    assert plan.num_regions > 1
+    stepper = ValueStepper(plan, mode="min", f32=True, use_active=True,
+                           interpret=True)
+    n = csr.num_nodes
+    rng = np.random.default_rng(12)
+    vals = rng.uniform(0, 50, n).astype(np.float32)
+    changed = rng.random(n) < 0.7
+    acc1, _ = stepper(
+        jnp.asarray(to_bitmajor_np(vals, plan.rows_w)),
+        jnp.asarray(words_from_mask(changed, plan.n_words)))
+    got = from_bitmajor_np(np.asarray(acc1), n, np.float32)
+    esrc = csc.col_indices
+    edst = np.repeat(np.arange(n), np.diff(csc.row_offsets))
+    cand = np.where(changed[esrc], vals[esrc] + csc.edge_values, np.inf)
+    out = vals.copy()
+    np.minimum.at(out, edst, cand.astype(np.float32))
+    np.testing.assert_array_equal(got, out)
+
+
+# ---------------- primitive planes modes ----------------
+
+def test_sssp_planes(small_random):
+    from gunrockinst_tpu.oracles.traversal import sssp_reference
+    from gunrockinst_tpu.primitives import sssp
+    res = sssp.run(small_random, 0, mode="planes")
+    dist, preds = sssp_reference(small_random, 0)
+    np.testing.assert_array_equal(res.dist, dist)   # bitwise
+    np.testing.assert_array_equal(res.preds, preds)
+
+
+def test_sssp_planes_unweighted(chesapeake):
+    from gunrockinst_tpu.oracles.traversal import sssp_reference
+    from gunrockinst_tpu.primitives import sssp
+    res = sssp.run(chesapeake, 5, mode="planes")
+    dist, _ = sssp_reference(chesapeake, 5)
+    np.testing.assert_array_equal(res.dist, dist)
+
+
+def test_cc_planes(small_random_ud):
+    from gunrockinst_tpu.oracles.components import cc_reference
+    from gunrockinst_tpu.primitives import cc
+    res = cc.run(small_random_ud, mode="planes")
+    ref = cc_reference(small_random_ud)
+    np.testing.assert_array_equal(res.component_ids, ref)
+
+
+def test_cc_planes_directed(small_random):
+    # weak connectivity of a directed graph (symmetrized internally)
+    from gunrockinst_tpu.oracles.components import cc_reference
+    from gunrockinst_tpu.primitives import cc
+    res = cc.run(small_random, mode="planes")
+    ref = cc_reference(small_random)
+    np.testing.assert_array_equal(res.component_ids, ref)
+
+
+def test_pr_planes(chesapeake):
+    from gunrockinst_tpu.primitives import pr
+    ref = pr.run(chesapeake, mode="xla")
+    res = pr.run(chesapeake, mode="planes")
+    np.testing.assert_allclose(res.ranks, ref.ranks, rtol=1e-4,
+                               atol=1e-5)
+    assert res.stats.search_depth == ref.stats.search_depth
+
+
+def test_pr_planes_personalized(small_random):
+    from gunrockinst_tpu.primitives import pr
+    ref = pr.run(small_random, src=3, mode="xla")
+    res = pr.run(small_random, src=3, mode="planes")
+    np.testing.assert_allclose(res.ranks, ref.ranks, rtol=1e-4,
+                               atol=1e-5)
