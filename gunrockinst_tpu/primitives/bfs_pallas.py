@@ -272,6 +272,78 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
 
 INF32_NP = np.iinfo(np.int32).max
 
+_multi_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
+    """`reps` complete BFS searches in ONE dispatch: a lax.scan over a
+    sources array of the whole-search while_loop.  This is the bench
+    methodology fix from the round-2 verdict: the axon tunnel costs
+    ~22 ms per dispatch regardless of work (measured,
+    scripts/profile_bfs_levels.py), which single-dispatch timing
+    attributes to the traversal.  The reference amortizes its own
+    launch overhead identically with --iteration-num
+    (tests/bfs/test_bfs.cu:402-431 averages over iterations).
+
+    Returns fn(srcs (reps,) i32) -> (depths (reps,) np,
+    visited_words (reps, rows, 128) np, wall_ms) — wall_ms is the
+    fetch-forced wall time of the whole dispatch; divide by reps."""
+    from gunrockinst_tpu.ops.pallas_mega import (MegaStepper,
+                                                 build_mega_plan,
+                                                 sweep_fits)
+    import time as _time
+    n = csr.num_nodes
+    if not sweep_fits(n, planes):
+        raise ValueError(f"mega step kernel does not fit at n={n}")
+    cache = _multi_cache.setdefault(csr, {})
+    hit = cache.get((reps, planes))
+    if hit is not None:
+        return hit
+    n_pad = ((n + 128) // 128) * 128
+    interp = jax.default_backend() == "cpu"
+    csc_g = csr.transposed()
+    plan = build_mega_plan(csc_g.row_offsets, csc_g.col_indices, n)
+    rows = plan.n_words // 128
+    stepper = MegaStepper(plan, planes=planes, interpret=interp)
+    n_words = plan.n_words
+
+    @jax.jit
+    def multi(scal, hbm, srcs):
+        def one(carry, s):
+            f0 = jnp.zeros((n_pad,), jnp.bool_).at[s].set(True)
+            fw0 = pack_bitmap(f0, n_words)
+            planes0 = jnp.zeros((planes * rows, 128), jnp.int32)
+
+            def cond(c):
+                pl_, fw_, vw_, dep, cont = c
+                return cont & (dep < n)
+
+            def body(c):
+                pl_, fw_, vw_, dep, _ = c
+                dd = dep + 1
+                nfw, vw2, pl2 = stepper.step_with(scal, hbm, fw_, vw_,
+                                                  pl_, dd)
+                return pl2, nfw, vw2, dd, jnp.any(nfw != 0)
+
+            pl_, fw_, vw_, dep, _ = jax.lax.while_loop(
+                cond, body, (planes0, fw0, fw0, jnp.int32(0),
+                             jnp.bool_(True)))
+            return carry + dep, (dep, vw_)
+
+        tot, (deps, vws) = jax.lax.scan(one, jnp.int32(0), srcs)
+        return tot, deps, vws
+
+    def fn(srcs):
+        srcs = jnp.asarray(np.asarray(srcs, np.int32))
+        t0 = _time.perf_counter()
+        tot, deps, vws = multi(stepper.hub_args, stepper.pk_args, srcs)
+        int(tot)   # scalar fetch forces the whole scan (axon quirk)
+        wall_ms = (_time.perf_counter() - t0) * 1e3
+        return np.asarray(deps), np.asarray(vws), wall_ms
+
+    cache[(reps, planes)] = fn
+    return fn
+
 
 def get_mega_bfs(csr: CsrGraph):
     """Mega-mode BFS: the hybrid fused driver over the single-sweep

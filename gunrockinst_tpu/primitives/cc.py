@@ -77,8 +77,8 @@ def get_cc_planes(csr, interpret=None):
     from gunrockinst_tpu.graph.coo import CooGraph
     from gunrockinst_tpu.graph.csr import CsrGraph
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np,
-        words_from_mask)
+        ValueStepper, build_value_plan, get_unweighted_plan,
+        to_bitmajor_np, from_bitmajor_np, words_from_mask)
 
     hit = _planes_cache.get(csr)
     if hit is not None:
@@ -92,8 +92,15 @@ def get_cc_planes(csr, interpret=None):
                      np.diff(csr.row_offsets))
     edst = csr.col_indices.astype(np.int64)
     und = CsrGraph.from_coo(CooGraph(n, esrc, edst), undirected=True)
-    ucsc = und.transposed()
-    plan = build_value_plan(ucsc.row_offsets, ucsc.col_indices, n)
+    if (und.row_offsets.shape == csr.row_offsets.shape
+            and np.array_equal(und.row_offsets, csr.row_offsets)
+            and np.array_equal(und.col_indices, csr.col_indices)):
+        # graph was already symmetric & canonical: share the plan (and
+        # its one-time ~300 MB tunnel upload) with sssp/pr planes
+        plan = get_unweighted_plan(csr)
+    else:
+        ucsc = und.transposed()
+        plan = build_value_plan(ucsc.row_offsets, ucsc.col_indices, n)
     stepper = ValueStepper(plan, mode="min", f32=False,
                            use_active=True, interpret=interpret)
     rows_w = plan.rows_w

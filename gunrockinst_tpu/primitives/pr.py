@@ -180,7 +180,8 @@ def get_pr_planes(csr, interpret=None):
     Returns fn(delta, threshold, src, max_iter) -> (ranks, it, ms)."""
     from gunrockinst_tpu.oracles.ranking import remove_dangling_degrees
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np)
+        ValueStepper, get_unweighted_plan, to_bitmajor_np,
+        from_bitmajor_np)
 
     hit = _planes_pr_cache.get(csr)
     if hit is not None:
@@ -188,8 +189,7 @@ def get_pr_planes(csr, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = csr.num_nodes
-    csc = csr.transposed()
-    plan = build_value_plan(csc.row_offsets, csc.col_indices, n)
+    plan = get_unweighted_plan(csr)   # shared with sssp/cc planes
     stepper = ValueStepper(plan, mode="add", f32=True, use_active=False,
                            zero_acc=True, track_changed=False,
                            interpret=interpret)

@@ -167,8 +167,9 @@ def get_sssp_planes(csr, interpret=None):
     import jax
     import jax.numpy as jnp
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np,
-        words_from_mask, bitmajor_fill_np)
+        ValueStepper, build_value_plan, get_unweighted_plan,
+        to_bitmajor_np, from_bitmajor_np, words_from_mask,
+        bitmajor_fill_np)
 
     hit = _planes_cache.get(csr)
     if hit is not None:
@@ -180,9 +181,21 @@ def get_sssp_planes(csr, interpret=None):
     w = (csc.edge_values.astype(np.float32)
          if csc.edge_values is not None
          else np.ones(csc.col_indices.shape[0], np.float32))
-    plan = build_value_plan(csc.row_offsets, csc.col_indices, n, weights=w)
+    # uniform weights (the unweighted-graph case): add the constant
+    # in-kernel instead of streaming a weight tile per edge tile —
+    # halves both the one-time host->HBM plan transfer over the tunnel
+    # and the per-sweep DMA traffic
+    uniform = w.size == 0 or bool(np.all(w == w.flat[0]))
+    if uniform:
+        plan = get_unweighted_plan(csr)   # shared with pr/cc planes
+        const_w = float(w.flat[0]) if w.size else 1.0
+    else:
+        plan = build_value_plan(csc.row_offsets, csc.col_indices, n,
+                                weights=w)
+        const_w = None
     stepper = ValueStepper(plan, mode="min", f32=True,
-                           use_active=True, interpret=interpret)
+                           use_active=True, const_w=const_w,
+                           interpret=interpret)
     rows_w = plan.rows_w
     inf_acc = jnp.asarray(bitmajor_fill_np(float("inf"), rows_w))
     limit = 4 * n + 8

@@ -36,10 +36,12 @@ def standard_parser(prim: str) -> argparse.ArgumentParser:
     p.add_argument("--iteration-num", type=int, default=1,
                    help="timed repetitions")
     p.add_argument("--traversal-mode", default="dense",
-                   choices=["dense", "sparse", "auto", "pallas", "mega"],
+                   choices=["dense", "sparse", "auto", "pallas", "mega",
+                            "planes"],
                    help="advance strategy (LB/TWC analog); 'pallas' = "
                         "fused v2 pull sweep, 'mega' = whole-search "
-                        "single-kernel BFS")
+                        "single-kernel BFS, 'planes' = value-plane "
+                        "kernel (pr/sssp/cc)")
     p.add_argument("--mark-pred", action="store_true")
     p.add_argument("--instrumented", action="store_true",
                    help="sliced execution with per-iteration trace lines "

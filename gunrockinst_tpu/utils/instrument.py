@@ -155,11 +155,14 @@ class SteppedBfs:
     def step(self) -> bool:
         """Run one slice. Returns True while not converged.
 
-        The wall/device split feeds ProgressTracer.avg_duty: device_ms
-        covers dispatch -> completion (forced by the scalar frontier-
-        size fetch — block_until_ready returns early on axon); the
-        remaining wall time is host-side glue, like the reference's
-        kernel-lifetime vs kernel-running-time split."""
+        The wall/device split feeds ProgressTracer.avg_duty (the
+        reference's kernel-running-time vs kernel-lifetime metric,
+        util/kernel_runtime_stats.cuh:226-290): device_ms spans from
+        the jitted call's RETURN (dispatch done, device working) to the
+        completion of the forcing scalar fetch; wall time additionally
+        counts the host-side dispatch/trace before it and the frontier
+        bookkeeping after — so duty < 1 measures real host overhead
+        instead of being 100% by construction."""
         if self.done:
             return False
         t0 = time.perf_counter()
@@ -168,12 +171,13 @@ class SteppedBfs:
             self.labels, self.frontier, self.depth = _bfs_slice(
                 self.graph, self.labels, self.frontier, self.depth,
                 jnp.int32(self.slice_depth))
+            t1 = time.perf_counter()   # dispatched; device running
             size = int(fr.frontier_size(self.frontier))
-        device_ms = (time.perf_counter() - t0) * 1e3
+        t2 = time.perf_counter()       # scalar fetch forced completion
         self.done = size == 0
         elapsed = (time.perf_counter() - t0) * 1e3
         self.tracer.record("advance", int(self.depth), size, elapsed,
-                           device_ms)
+                           (t2 - t1) * 1e3)
         return not self.done
 
     # -- persistence --------------------------------------------------------
@@ -253,12 +257,13 @@ class SteppedSssp:
             self.dist, self.pending, self.it = _sssp_slice(
                 self.graph, self.dist, self.pending, self.it,
                 jnp.int32(self.slice_depth))
+            t1 = time.perf_counter()   # dispatched; device running
             size = int(jnp.sum(self.pending.astype(jnp.int32)))
-        device_ms = (time.perf_counter() - t0) * 1e3
+        t2 = time.perf_counter()       # scalar fetch forced completion
         self.done = size == 0
         elapsed = (time.perf_counter() - t0) * 1e3
         self.tracer.record("relax", int(self.it), size, elapsed,
-                           device_ms)
+                           (t2 - t1) * 1e3)
         return not self.done
 
     def checkpoint(self, path: str) -> None:
@@ -312,14 +317,15 @@ class SteppedCc:
             comp, changed, self.it = _cc_slice(
                 self.graph, self.comp, self.it,
                 jnp.int32(self.slice_depth))
+            t1 = time.perf_counter()   # dispatched; device running
             changed = bool(changed)
             moved = int(jnp.sum((comp != self.comp).astype(jnp.int32)))
             self.comp = comp
-        device_ms = (time.perf_counter() - t0) * 1e3
+        t2 = time.perf_counter()       # scalar fetches forced completion
         self.done = not changed
         elapsed = (time.perf_counter() - t0) * 1e3
         self.tracer.record("hook", int(self.it), moved, elapsed,
-                           device_ms)
+                           (t2 - t1) * 1e3)
         return not self.done
 
     def checkpoint(self, path: str) -> None:

@@ -50,8 +50,18 @@ def main():
     print(f"# rmat s{args.scale}: {csr.num_nodes} nodes, {m} edges; "
           f"{ndev} devices available", file=sys.stderr)
 
-    from gunrockinst_tpu.parallel.dist_words import (bfs_dist_words,
-                                                     shard_graph_by_dst)
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.parallel.dist_words import (
+        bc_dist_words, bfs_dist_words, cc_dist_words,
+        pagerank_dist_words, shard_graph_by_dst, sssp_dist_words)
+
+    # symmetrized edge set for weak-connectivity CC
+    esrc_u = np.repeat(np.arange(csr.num_nodes, dtype=np.int64),
+                       np.diff(csr.row_offsets))
+    und = CsrGraph.from_coo(
+        CooGraph(csr.num_nodes, esrc_u, csr.col_indices.astype(np.int64)),
+        undirected=True)
 
     results = []
     base_rate = None
@@ -84,6 +94,15 @@ def main():
         wdt = time.perf_counter() - t0
         dense_bytes = 2 * 4 * sg.n_pad * max(int(depth), 1)
 
+        # word-exchange byte models for the rest of the zoo (VERDICT r2
+        # item 6: per-level ICI bytes proportional to owned state, not
+        # the replicated vector, for >= 5 primitives)
+        _, s_it, s_traffic = sssp_dist_words(sgw, src, mesh)
+        _, p_traffic = pagerank_dist_words(sgw, mesh, max_iter=20)
+        sgu = shard_graph_by_dst(und, mesh)
+        _, c_it, c_traffic = cc_dist_words(sgu, mesh)
+        _, b_depth, b_traffic = bc_dist_words(csr, src, mesh)
+
         if base_rate is None:
             base_rate = rate
         eff = rate / (base_rate * d)
@@ -91,12 +110,16 @@ def main():
             devices=d, bfs_meps=rate / 1e6,
             scaling_efficiency=round(eff, 3),
             words_bfs_meps=edges_visited / wdt / 1e6,
-            ici_bytes_per_device=wtraffic,
+            ici_bytes_per_device=dict(
+                bfs=wtraffic, sssp=s_traffic, pr=p_traffic,
+                cc=c_traffic, bc=b_traffic),
             ici_bytes_dense_equiv=dense_bytes,
             ici_reduction=round(dense_bytes / max(wtraffic, 1), 1)))
         print(f"# d={d}: {dt*1e3:.1f} ms, {rate/1e6:.1f} M edges/s, "
               f"efficiency {eff:.2f}; word-exchange {wdt*1e3:.1f} ms, "
-              f"ICI {wtraffic} B/dev vs {dense_bytes} B dense "
+              f"ICI B/dev: bfs {wtraffic} sssp {s_traffic} "
+              f"pr {p_traffic} cc {c_traffic} bc {b_traffic} "
+              f"vs {dense_bytes} B dense-bfs "
               f"({dense_bytes/max(wtraffic,1):.0f}x less)",
               file=sys.stderr)
 

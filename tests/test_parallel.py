@@ -141,3 +141,28 @@ def test_pagerank_dist_words_shard_invariance():
         assert traffic > 0
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5)
     assert np.isfinite(outs[0]).all() and outs[0].max() > 0
+
+
+def test_cc_dist_words_matches_oracle(small_random_ud):
+    from gunrockinst_tpu.oracles import cc_reference
+    from gunrockinst_tpu.parallel.dist_words import (cc_dist_words,
+                                                     shard_graph_by_dst)
+    ref = cc_reference(small_random_ud)
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(small_random_ud, mesh)
+        comp, it, traffic = cc_dist_words(sg, mesh)
+        np.testing.assert_array_equal(np.asarray(comp)[: sg.n], ref)
+        # per-round egress: owned label slice + owned changed words
+        assert traffic == it * (sg.n_loc * 4 + sg.n_loc // 32 * 4)
+
+
+def test_bc_dist_words_matches_oracle(chesapeake):
+    from gunrockinst_tpu.oracles import bc_reference
+    from gunrockinst_tpu.parallel.dist_words import bc_dist_words
+    ref, _, _ = bc_reference(chesapeake, src=3)
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        bc, depth, traffic = bc_dist_words(chesapeake, 3, mesh)
+        np.testing.assert_allclose(bc, ref, rtol=1e-4, atol=1e-5)
+        assert traffic > 0
