@@ -137,6 +137,11 @@ def main():
             continue
         if best is None or gteps > best:
             best = gteps
+        # modes are ordered fastest-first (mega > pallas, measured both
+        # rounds); later modes are fallback insurance, not contenders —
+        # skip their 5-20 min cold compiles once a number exists
+        if best is not None and os.environ.get("BENCH_ALL_MODES") != "1":
+            break
 
     # ---- guaranteed fallback: plain-XLA dense sweep compiles in
     # ~1-2 min even stone cold; a modest number beats no number ----
