@@ -100,7 +100,10 @@ def main():
     headline_budget = int(os.environ.get("BENCH_HEADLINE_BUDGET_S",
                                          "2400"))
     deadline = time.time() + headline_budget
-    K = int(os.environ.get("BENCH_REPS_PER_DISPATCH", "8"))
+    # 32 searches per dispatch: the ~22 ms axon tunnel round trip is
+    # 1.2% of the dispatch instead of 10% (measured: K=8 1.56, K=16
+    # 1.66, K=32 1.76 GTEPS; device floor ~17.3 ms/search)
+    K = int(os.environ.get("BENCH_REPS_PER_DISPATCH", "32"))
     for mode in modes:
         remaining = int(deadline - time.time())
         if remaining <= 60:
@@ -276,6 +279,26 @@ def secondary(csr):
                 f"G edge/s")
         except Exception as e:
             log(f"# cc bench skipped: {e}")
+
+    if os.environ.get("BENCH_BC", "1") == "1":
+        try:
+            from gunrockinst_tpu.graph.rmat import rmat_graph
+            from gunrockinst_tpu.primitives import bc
+            # all-source batched BC at a smaller scale (round-2 verdict
+            # item 10: record the batching win as a number; s20
+            # all-sources would take hours on any backend)
+            bscale = int(os.environ.get("BENCH_BC_SCALE", "14"))
+            bcsr = rmat_graph(bscale, 16, undirected=True, seed=42,
+                              cache_dir=CACHE)
+            from gunrockinst_tpu.graph.csr import DeviceGraph
+            bg = DeviceGraph.build(bcsr, with_csc=False)
+            res = bc.run(bg, src=-1)
+            srcs_per_s = bcsr.num_nodes / (res.stats.elapsed_ms / 1e3)
+            log(f"# bc (batched all-source, s{bscale}): "
+                f"{res.stats.elapsed_ms:.1f} ms for {bcsr.num_nodes} "
+                f"sources -> {srcs_per_s:.1f} sources/s")
+        except Exception as e:
+            log(f"# bc bench skipped: {e}")
 
 
 if __name__ == "__main__":

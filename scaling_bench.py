@@ -53,7 +53,7 @@ def main():
     from gunrockinst_tpu.graph.coo import CooGraph
     from gunrockinst_tpu.graph.csr import CsrGraph
     from gunrockinst_tpu.parallel.dist_words import (
-        bc_dist_words, bfs_dist_words, cc_dist_words,
+        bc_dist_words, bfs_dist_words, cc_dist_words, dobfs_dist_words,
         pagerank_dist_words, shard_graph_by_dst, sssp_dist_words)
 
     # symmetrized edge set for weak-connectivity CC
@@ -102,6 +102,8 @@ def main():
         sgu = shard_graph_by_dst(und, mesh)
         _, c_it, c_traffic = cc_dist_words(sgu, mesh)
         _, b_depth, b_traffic = bc_dist_words(csr, src, mesh)
+        _, _, do_depth, do_pulls, do_traffic = dobfs_dist_words(
+            sgw, src, mesh)
 
         if base_rate is None:
             base_rate = rate
@@ -112,7 +114,8 @@ def main():
             words_bfs_meps=edges_visited / wdt / 1e6,
             ici_bytes_per_device=dict(
                 bfs=wtraffic, sssp=s_traffic, pr=p_traffic,
-                cc=c_traffic, bc=b_traffic),
+                cc=c_traffic, bc=b_traffic, dobfs=do_traffic),
+            dobfs_pull_levels=f"{do_pulls}/{do_depth}",
             ici_bytes_dense_equiv=dense_bytes,
             ici_reduction=round(dense_bytes / max(wtraffic, 1), 1)))
         print(f"# d={d}: {dt*1e3:.1f} ms, {rate/1e6:.1f} M edges/s, "

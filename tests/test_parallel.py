@@ -166,3 +166,48 @@ def test_bc_dist_words_matches_oracle(chesapeake):
         bc, depth, traffic = bc_dist_words(chesapeake, 3, mesh)
         np.testing.assert_allclose(bc, ref, rtol=1e-4, atol=1e-5)
         assert traffic > 0
+
+
+def test_dobfs_dist_words_directions_agree(chesapeake):
+    """The pull direction is a genuinely different computation
+    (segment-min over owned in-edges) — forcing all-pull, all-push,
+    and the real alpha switch must all give oracle-exact labels+preds,
+    and forced runs must actually take the forced direction."""
+    from gunrockinst_tpu.parallel.dist_words import (dobfs_dist_words,
+                                                     shard_graph_by_dst)
+    ref_labels, ref_preds = bfs_reference(chesapeake, 0)
+    for nd in (1, 4, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(chesapeake, mesh)
+        for alpha, want in ((1e9, "pull"), (0.0, "push"), (6.0, None)):
+            labels, preds, depth, pulls, traffic = dobfs_dist_words(
+                sg, 0, mesh, alpha=alpha)
+            np.testing.assert_array_equal(np.asarray(labels)[:sg.n],
+                                          ref_labels)
+            np.testing.assert_array_equal(np.asarray(preds)[:sg.n],
+                                          ref_preds)
+            if want == "pull":
+                assert pulls == depth
+            elif want == "push":
+                assert pulls == 0
+            assert traffic == depth * (sg.n_loc // 32) * 4
+
+
+def test_dobfs_dist_words_rmat_switches():
+    """On a power-law graph the default alpha switch should use pull
+    for at least one fat level and stay exact across shard counts."""
+    from gunrockinst_tpu.parallel.dist_words import (dobfs_dist_words,
+                                                     shard_graph_by_dst)
+    csr = rmat_graph(10, 8, undirected=True, seed=9)
+    src = int(np.argmax(np.diff(csr.row_offsets)))
+    ref_labels, _ = bfs_reference(csr, src)
+    pulls_seen = []
+    for nd in (1, 8):
+        mesh = edge_mesh(nd)
+        sg = shard_graph_by_dst(csr, mesh)
+        labels, preds, depth, pulls, _ = dobfs_dist_words(sg, src, mesh)
+        np.testing.assert_array_equal(np.asarray(labels)[:sg.n],
+                                      ref_labels)
+        pulls_seen.append(pulls)
+    assert pulls_seen[0] == pulls_seen[1]   # switch is replicated
+    assert 0 < pulls_seen[0] <= depth
