@@ -100,10 +100,10 @@ def main():
     headline_budget = int(os.environ.get("BENCH_HEADLINE_BUDGET_S",
                                          "2400"))
     deadline = time.time() + headline_budget
-    # 32 searches per dispatch: the ~22 ms axon tunnel round trip is
-    # 1.2% of the dispatch instead of 10% (measured: K=8 1.56, K=16
-    # 1.66, K=32 1.76 GTEPS; device floor ~17.3 ms/search)
-    K = int(os.environ.get("BENCH_REPS_PER_DISPATCH", "32"))
+    # 64 searches per dispatch: the ~21 ms axon tunnel round trip is
+    # 0.3% of the dispatch instead of 10% (measured: K=8 1.56, K=16
+    # 1.66, K=32 1.76, K=64 1.80 GTEPS; device floor ~17.3 ms/search)
+    K = int(os.environ.get("BENCH_REPS_PER_DISPATCH", "64"))
     for mode in modes:
         remaining = int(deadline - time.time())
         if remaining <= 60:
