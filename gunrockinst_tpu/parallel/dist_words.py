@@ -40,6 +40,7 @@ from gunrockinst_tpu.graph.csr import CsrGraph
 from gunrockinst_tpu.parallel.mesh import EDGE_AXIS
 
 INT_MAX = jnp.iinfo(jnp.int32).max
+INT_MIN = jnp.iinfo(jnp.int32).min
 
 
 @jax.tree_util.register_dataclass
@@ -211,12 +212,17 @@ def dobfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
         instead of sum(outdeg[frontier]).
 
     The Beamer switch compares those two replicated scan volumes
-    (alpha-weighted, dobfs_enactor.cuh:397).  Both directions exchange
-    the same owned next-frontier words (n_loc/8 B/device/level) — with
-    dst-owned partitioning the pull saving is local scan volume, not
-    ICI bytes.  Labels AND preds stay bitwise equal to bfs_dist_words
-    (min-id tie-break holds in both directions), so the switch is
-    semantically invisible, as in the reference.
+    (alpha-weighted, dobfs_enactor.cuh:397); once in pull it stays
+    there until the frontier shrinks below nodes/beta, then switches
+    back to push (the reference's phase-C condition,
+    dobfs_enactor.cuh:569).  Scan volumes accumulate in float32 so
+    graphs with >2^31 edges cannot wrap the comparison.  Both
+    directions exchange the same owned next-frontier words (n_loc/8
+    B/device/level) — with dst-owned partitioning the pull saving is
+    local scan volume, not ICI bytes.  Labels AND preds stay bitwise
+    equal to bfs_dist_words (min-id tie-break holds in both
+    directions), so the switch is semantically invisible, as in the
+    reference.
 
     Returns (labels, preds, depth, pull_levels, ici_bytes/device)."""
     n_loc, n_words = graph.n_loc, graph.n_words
@@ -241,20 +247,31 @@ def dobfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
             jnp.where(esrc != graph.n, 1, 0))
 
         def cond(c):
-            labels, preds, fw, depth, pulls, traffic = c
+            labels, preds, fw, depth, pulls, was_pull, traffic = c
             return jnp.any(fw != 0) & (depth <= graph.n)
 
         def body(c):
-            labels, preds, fw, depth, pulls, traffic = c
+            labels, preds, fw, depth, pulls, was_pull, traffic = c
             unvis = labels == INT_MAX
-            # replicated switch stats: alpha-weighted scan volumes
+            # replicated switch stats: alpha-weighted scan volumes,
+            # accumulated in f32 (int32 sums wrap past 2^31 edges and
+            # would silently flip the direction choice)
             own_w = jax.lax.dynamic_slice(fw, (me * nwl,), (nwl,))
             fbit = ((own_w[lid >> 5] >> (lid & 31)) & 1) == 1
             f_edges = jax.lax.psum(
-                jnp.sum(jnp.where(fbit, outdeg_own, 0)), EDGE_AXIS)
+                jnp.sum(jnp.where(fbit, outdeg_own.astype(jnp.float32),
+                                  0.0)), EDGE_AXIS)
             u_edges = jax.lax.psum(
-                jnp.sum(jnp.where(unvis, indeg_own, 0)), EDGE_AXIS)
-            use_pull = f_edges * alpha > u_edges.astype(jnp.float32)
+                jnp.sum(jnp.where(unvis, indeg_own.astype(jnp.float32),
+                                  0.0)), EDGE_AXIS)
+            n_front = jax.lax.psum(
+                jnp.sum(fbit.astype(jnp.float32)), EDGE_AXIS)
+            # Beamer hysteresis: enter pull on the alpha inequality;
+            # once pulling, also STAY in pull while the frontier holds
+            # at least nodes/beta vertices even if the alpha test flips
+            # (dobfs_enactor.cuh:397 enter, :569 leave)
+            use_pull = (f_edges * alpha > u_edges) | (
+                was_pull & (n_front >= jnp.float32(graph.n) / beta))
 
             def push(_):
                 active = _frontier_bit(fw, esrc).astype(jnp.bool_)
@@ -282,12 +299,13 @@ def dobfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
             fw = jax.lax.all_gather(_pack_words(newf, nwl),
                                     EDGE_AXIS, tiled=True)
             return (labels, preds, fw, depth + 1,
-                    pulls + use_pull.astype(jnp.int32),
+                    pulls + use_pull.astype(jnp.int32), use_pull,
                     traffic + nwl * 4)
 
-        labels, preds, fw, depth, pulls, traffic = jax.lax.while_loop(
+        (labels, preds, fw, depth, pulls, _wp,
+         traffic) = jax.lax.while_loop(
             cond, body, (labels0, preds0, fw0, jnp.int32(0),
-                         jnp.int32(0), jnp.int32(0)))
+                         jnp.int32(0), jnp.bool_(False), jnp.int32(0)))
         return labels, preds, depth[None], pulls[None], traffic[None]
 
     labels, preds, depth, pulls, traffic = jax.jit(search)(
@@ -403,6 +421,38 @@ def cc_dist_words(graph: DstShardedGraph, mesh: Mesh):
     return comp, int(it[0]), int(traffic[0])
 
 
+def _src_owned_edges(csr: CsrGraph, n_loc: int, d: int, gn: int,
+                     mesh: Mesh):
+    """SRC-owned copy of the edges over the same ownership ranges as
+    `shard_graph_by_dst`: device k holds the out-edges of vertices
+    [k*n_loc, (k+1)*n_loc) as (local src id, GLOBAL dst id).  Dummy
+    padding: local src slot n_loc-1, global dst id `gn` — kernels must
+    mask on `dst != gn` before accumulating into the local src slot.
+    The reference keeps both CSR and CSC for the same reason
+    (app/problem_base.cuh:226-342 copies both directions).
+    Returns (src_local P('e'), dst_global P('e'), m_loc)."""
+    n = csr.num_nodes
+    esrc_h = np.repeat(np.arange(n, dtype=np.int64),
+                       np.diff(csr.row_offsets))
+    edst_h = csr.col_indices.astype(np.int64)
+    owner = esrc_h // n_loc
+    order = np.argsort(owner, kind="stable")
+    s_s, s_d, s_o = esrc_h[order], edst_h[order], owner[order]
+    counts = np.bincount(s_o, minlength=d)
+    m_loc2 = -(-max(int(counts.max()), 1) // 128) * 128
+    bs = np.full((d, m_loc2), n_loc - 1, np.int32)  # local dummy src
+    bd = np.full((d, m_loc2), gn, np.int32)         # global dummy dst
+    off = 0
+    for k in range(d):
+        c = int(counts[k])
+        bs[k, :c] = s_s[off: off + c] - k * n_loc
+        bd[k, :c] = s_d[off: off + c]
+        off += c
+    eshard = NamedSharding(mesh, P(EDGE_AXIS))
+    return (jax.device_put(bs.reshape(-1), eshard),
+            jax.device_put(bd.reshape(-1), eshard), m_loc2)
+
+
 def bc_dist_words(csr: CsrGraph, src: int, mesh: Mesh):
     """Distributed betweenness centrality with word exchange in BOTH
     passes.  Forward (Brandes sigma counts) runs on the dst-owned
@@ -422,25 +472,7 @@ def bc_dist_words(csr: CsrGraph, src: int, mesh: Mesh):
     n = csr.num_nodes
 
     # src-owned shard for the backward pass: same ownership ranges
-    esrc_h = np.repeat(np.arange(n, dtype=np.int64),
-                       np.diff(csr.row_offsets))
-    edst_h = csr.col_indices.astype(np.int64)
-    owner = esrc_h // n_loc
-    order = np.argsort(owner, kind="stable")
-    s_s, s_d, s_o = esrc_h[order], edst_h[order], owner[order]
-    counts = np.bincount(s_o, minlength=d)
-    m_loc2 = -(-max(int(counts.max()), 1) // 128) * 128
-    bs = np.full((d, m_loc2), n_loc - 1, np.int32)  # local dummy src
-    bd = np.full((d, m_loc2), g.n, np.int32)        # global dummy dst
-    off = 0
-    for k in range(d):
-        c = int(counts[k])
-        bs[k, :c] = s_s[off: off + c] - k * n_loc
-        bd[k, :c] = s_d[off: off + c]
-        off += c
-    eshard = NamedSharding(mesh, P(EDGE_AXIS))
-    bsrc_l = jax.device_put(bs.reshape(-1), eshard)
-    bdst_g = jax.device_put(bd.reshape(-1), eshard)
+    bsrc_l, bdst_g, m_loc2 = _src_owned_edges(csr, n_loc, d, g.n, mesh)
 
     MAXD = 64  # forward-level cap (power-law diameters; asserted below)
     GN = g.n
@@ -597,3 +629,492 @@ def pagerank_dist_words(graph: DstShardedGraph, mesh: Mesh,
     rank, traffic = jax.jit(pr)(graph.edge_src, graph.edge_dst_l,
                                 graph.out_degree)
     return rank, int(traffic[0])
+
+
+# --------------------------------------------------------------------
+# round-4 tier: word/slice exchange for the remaining primitive zoo
+# (HITS / SALSA / WTF / MIS / TopK / MST), retiring the replicated
+# full-vector psums of dist_more.py (round-3 verdict item 4).  Rank
+# primitives accumulate into BOTH endpoints, so each device holds the
+# dst-owned shard AND a src-owned shard over the same ownership ranges
+# (_src_owned_edges) — every scatter lands in owned state and the only
+# exchange is all_gather of owned n_loc slices (or n_loc/32 words).
+# --------------------------------------------------------------------
+
+
+def hits_dist_words(csr: CsrGraph, mesh: Mesh, src: int = 0,
+                    delta: float = 0.85, max_iter: int = 50):
+    """Distributed HITS with owned-slice exchange (primitives/hits.py
+    semantics; gunrock/app/hits/hits_enactor.cuh:97-116).  Per
+    iteration: auth partial-adds on the dst-owned shard (local),
+    all_gather owned auth; hub partial-adds on the src-owned shard
+    (local), all_gather owned hub — 2*n_loc*4 B egress/device/iter vs
+    dist_more.hits_dist's two full-vector psums.
+    Returns (hub (n_pad,), auth (n_pad,), ici_bytes/device)."""
+    g = shard_graph_by_dst(csr, mesh)
+    n_loc, n_pad = g.n_loc, g.n_pad
+    d = g.n_devices
+    bsrc_l, bdst_g, _ = _src_owned_edges(csr, n_loc, d, g.n, mesh)
+    GN = g.n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                  P(EDGE_AXIS), P(EDGE_AXIS), P()),
+        out_specs=(P(), P(), P()), check_rep=False)
+    def kernel(esrc, edst_l, bsrc_loc, bdst_glob, outdeg_own, src_v):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        # one-time replicated degree maps (counted in the byte model)
+        so_g = jnp.maximum(
+            jax.lax.all_gather(outdeg_own, EDGE_AXIS,
+                               tiled=True).astype(jnp.float32), 1.0)
+        indeg_own = jnp.zeros((n_loc,), jnp.int32).at[edst_l].add(
+            jnp.where(esrc != GN, 1, 0))
+        si_g = jnp.maximum(
+            jax.lax.all_gather(indeg_own, EDGE_AXIS,
+                               tiled=True).astype(jnp.float32), 1.0)
+        src_g_ids = me * n_loc + bsrc_loc
+        is_src_e = (src_g_ids == src_v[0]).astype(jnp.float32)
+        valid_b = bdst_glob != GN
+        bdst_c = jnp.minimum(bdst_glob, n_pad - 1)
+
+        def body(_, carry):
+            hub_g, auth_g, traffic = carry
+            # auth sweep: all in-edges of owned dsts are local
+            auth_own = jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                jnp.where(esrc != GN, hub_g[esrc] / so_g[esrc], 0.0))
+            auth_g = jax.lax.all_gather(auth_own, EDGE_AXIS, tiled=True)
+            # hub sweep: all out-edges of owned srcs are local
+            per_edge = (is_src_e * delta / so_g[src_g_ids]
+                        + (1.0 - delta) * auth_g[bdst_c] / si_g[bdst_c])
+            hub_own = jnp.zeros((n_loc,), jnp.float32).at[bsrc_loc].add(
+                jnp.where(valid_b, per_edge, 0.0))
+            hub_g = jax.lax.all_gather(hub_own, EDGE_AXIS, tiled=True)
+            return hub_g, auth_g, traffic + 2 * n_loc * 4
+
+        z = jnp.zeros((n_pad,), jnp.float32)
+        hub_g, auth_g, traffic = jax.lax.fori_loop(
+            0, max_iter, body, (z, z, jnp.int32(2 * n_loc * 4)))
+        return hub_g, auth_g, traffic[None]
+
+    hub, auth, traffic = jax.jit(kernel)(
+        g.edge_src, g.edge_dst_l, bsrc_l, bdst_g, g.out_degree,
+        jnp.asarray([src], jnp.int32))
+    return hub, auth, int(traffic[0])
+
+
+def salsa_dist_words(csr: CsrGraph, mesh: Mesh, max_iter: int = 50):
+    """Distributed SALSA with owned-slice exchange (primitives/
+    salsa.py; gunrock/app/salsa/salsa_enactor.cuh:240-415).  Four
+    scatter-adds per iteration — two into dsts (dst-owned shard), two
+    into srcs (src-owned shard) — each completing locally, followed by
+    an owned-slice all_gather: 4*n_loc*4 B/device/iter.
+    Returns (hub (n_pad,), auth (n_pad,), ici_bytes/device)."""
+    g = shard_graph_by_dst(csr, mesh)
+    n_loc, n_pad = g.n_loc, g.n_pad
+    d = g.n_devices
+    bsrc_l, bdst_g, _ = _src_owned_edges(csr, n_loc, d, g.n, mesh)
+    GN = g.n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                  P(EDGE_AXIS), P(EDGE_AXIS)),
+        out_specs=(P(), P(), P()), check_rep=False)
+    def kernel(esrc, edst_l, bsrc_loc, bdst_glob, outdeg_own):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        outdeg_g = jax.lax.all_gather(
+            outdeg_own, EDGE_AXIS, tiled=True).astype(jnp.float32)
+        indeg_own = jnp.zeros((n_loc,), jnp.int32).at[edst_l].add(
+            jnp.where(esrc != GN, 1, 0))
+        indeg_g = jax.lax.all_gather(
+            indeg_own, EDGE_AXIS, tiled=True).astype(jnp.float32)
+        so, si = jnp.maximum(outdeg_g, 1.0), jnp.maximum(indeg_g, 1.0)
+        out_nodes = jnp.maximum(jnp.sum((outdeg_g > 0).astype(
+            jnp.float32)), 1.0)
+        in_nodes = jnp.maximum(jnp.sum((indeg_g > 0).astype(
+            jnp.float32)), 1.0)
+        ar = jnp.arange(n_pad)
+        hub0 = jnp.where(ar <= GN, 1.0 / out_nodes, 0.0).astype(
+            jnp.float32)
+        auth0 = jnp.where(ar <= GN, 1.0 / in_nodes, 0.0).astype(
+            jnp.float32)
+        src_g_ids = me * n_loc + bsrc_loc
+        valid_b = bdst_glob != GN
+        bdst_c = jnp.minimum(bdst_glob, n_pad - 1)
+
+        def gather_own(part_own):
+            return jax.lax.all_gather(part_own, EDGE_AXIS, tiled=True)
+
+        def body(_, carry):
+            hub, auth, traffic = carry
+            x = gather_own(
+                jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                    jnp.where(esrc != GN, hub[esrc] / so[esrc], 0.0)))
+            new_hub = gather_own(
+                jnp.zeros((n_loc,), jnp.float32).at[bsrc_loc].add(
+                    jnp.where(valid_b, x[bdst_c] / si[bdst_c], 0.0)))
+            y = gather_own(
+                jnp.zeros((n_loc,), jnp.float32).at[bsrc_loc].add(
+                    jnp.where(valid_b, auth[bdst_c] / si[bdst_c], 0.0)))
+            new_auth = gather_own(
+                jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                    jnp.where(esrc != GN, y[esrc] / so[esrc], 0.0)))
+            new_hub = jnp.where(outdeg_g > 0, new_hub, 0.0)
+            new_auth = jnp.where(indeg_g > 0, new_auth, 0.0)
+            return new_hub, new_auth, traffic + 4 * n_loc * 4
+
+        hub, auth, traffic = jax.lax.fori_loop(
+            0, max_iter, body, (hub0, auth0, jnp.int32(2 * n_loc * 4)))
+        return hub, auth, traffic[None]
+
+    hub, auth, traffic = jax.jit(kernel)(
+        g.edge_src, g.edge_dst_l, bsrc_l, bdst_g, g.out_degree)
+    return hub, auth, int(traffic[0])
+
+
+def mis_dist_words(csr: CsrGraph, mesh: Mesh, priorities):
+    """Distributed Luby MIS with owned-slice exchange (primitives/
+    mis.py luby_kernel; gunrock/app/mis neighborhood-reduce MAXIMUM,
+    mis_enactor.cuh:234-357).  Per round: neighbor-max partials land in
+    owned SRC state (src-owned shard, local), exclusion bits land in
+    both endpoints (one partial per shard, OR'd locally since both are
+    owned) — exchange = one n_loc*4 slice + one n_loc/32-word bitmap.
+    Returns (state (n_pad,) {0 undecided,1 in,2 out}, rounds,
+    ici_bytes/device)."""
+    g = shard_graph_by_dst(csr, mesh)
+    n_loc, n_pad = g.n_loc, g.n_pad
+    d = g.n_devices
+    nwl = n_loc // 32
+    bsrc_l, bdst_g, _ = _src_owned_edges(csr, n_loc, d, g.n, mesh)
+    GN = g.n
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                  P(EDGE_AXIS), P()),
+        out_specs=(P(), P(), P()), check_rep=False)
+    def kernel(esrc, edst_l, bsrc_loc, bdst_glob, prio):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        real = jnp.arange(n_pad, dtype=jnp.int32) < GN
+        state0 = jnp.where(real, 0, 2)
+        valid_b = bdst_glob != GN
+        bdst_c = jnp.minimum(bdst_glob, n_pad - 1)
+        src_g_ids = me * n_loc + bsrc_loc
+        esrc_c = jnp.minimum(esrc, n_pad - 1)
+        dst_g_ids = me * n_loc + edst_l
+
+        def cond(c):
+            state, r, traffic = c
+            return jnp.any(state == 0) & (r <= GN)
+
+        def body(c):
+            state, r, traffic = c
+            und = state == 0
+            # neighbor max into owned srcs (src-owned shard, local)
+            cand_b = valid_b & und[src_g_ids] & und[bdst_c]
+            nbmax_own = jnp.full((n_loc,), INT_MIN, jnp.int32).at[
+                bsrc_loc].max(
+                    jnp.where(cand_b, prio[bdst_c], INT_MIN))
+            nbmax_g = jax.lax.all_gather(nbmax_own, EDGE_AXIS,
+                                         tiled=True)
+            join = und & (prio >= nbmax_g)
+            # exclusion: join[src] excludes dst (dst-owned, local) and
+            # join[dst] excludes src (src-owned, local)
+            cand_d = (esrc != GN) & und[esrc_c]
+            excl_dst = jnp.zeros((n_loc,), jnp.bool_).at[edst_l].max(
+                jnp.where(cand_d, join[esrc_c], False))
+            excl_src = jnp.zeros((n_loc,), jnp.bool_).at[bsrc_loc].max(
+                jnp.where(cand_b, join[bdst_c], False))
+            excl_own = excl_dst | excl_src
+            ew = jax.lax.all_gather(_pack_words(excl_own, nwl),
+                                    EDGE_AXIS, tiled=True)
+            excl = _frontier_bit(ew, jnp.arange(n_pad)) == 1
+            state = jnp.where(join, 1, jnp.where(und & excl, 2, state))
+            return state, r + 1, traffic + n_loc * 4 + nwl * 4
+
+        state, r, traffic = jax.lax.while_loop(
+            cond, body, (state0, jnp.int32(0), jnp.int32(0)))
+        return state, r[None], traffic[None]
+
+    state, rounds, traffic = jax.jit(kernel)(
+        g.edge_src, g.edge_dst_l, bsrc_l, bdst_g,
+        jnp.asarray(priorities))
+    return state, int(rounds[0]), int(traffic[0])
+
+
+def topk_dist_words(csr: CsrGraph, mesh: Mesh, k: int):
+    """Distributed top-K degree centrality with candidate exchange
+    (primitives/topk.py; gunrock/app/topk/topk_enactor.cuh:262-285).
+    In-degrees of owned dsts are local; each device two-key sorts its
+    OWNED centrality slice and exchanges only its top-k candidates —
+    8k B/device total vs dist_more.topk_dist's full-vector psum + a
+    replicated n_pad sort.  The union of per-owner top-k contains the
+    global top-k (owners partition the vertices), and the two-key
+    (-cent, id) order makes ties deterministic.
+    Returns (ids (k,), centralities (k,), ici_bytes/device)."""
+    g = shard_graph_by_dst(csr, mesh)
+    n_loc, n_pad = g.n_loc, g.n_pad
+    GN = g.n
+    kk = min(k, n_loc)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS)),
+        out_specs=(P(), P(), P()), check_rep=False)
+    def kernel(esrc, edst_l, outdeg_own):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        indeg_own = jnp.zeros((n_loc,), jnp.int32).at[edst_l].add(
+            jnp.where(esrc != GN, 1, 0))
+        gid = me * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+        # negated key directly: padding gets INT_MAX so it sorts last
+        # (negating an INT_MIN sentinel would overflow back to first)
+        negc = jnp.where(gid < GN, -(indeg_own + outdeg_own), INT_MAX)
+        negc, ids = jax.lax.sort((negc, gid), num_keys=2)
+        cand_c = jax.lax.all_gather(negc[:kk], EDGE_AXIS, tiled=True)
+        cand_i = jax.lax.all_gather(ids[:kk], EDGE_AXIS, tiled=True)
+        fnegc, fids = jax.lax.sort((cand_c, cand_i), num_keys=2)
+        traffic = jnp.int32(kk * 8)
+        return fids, -fnegc, traffic[None]
+
+    ids, cent, traffic = jax.jit(kernel)(
+        g.edge_src, g.edge_dst_l, g.out_degree)
+    return ids[:k], cent[:k], int(traffic[0])
+
+
+def wtf_dist_words(csr: CsrGraph, mesh: Mesh, src: int = 0,
+                   alpha: float = 0.2, delta: float = 0.85,
+                   threshold: float = 0.01, cot_size: int = 1000,
+                   max_iter: int = 50):
+    """Distributed Who-To-Follow with owned-slice exchange
+    (primitives/wtf.py phases; gunrock/app/wtf/wtf_enactor.cuh:
+    280-530).  Dangling-degree fixpoint and SALSA rank_next accumulate
+    into srcs (src-owned shard); personalized-PR and ref_next
+    accumulate into dsts (dst-owned shard); every round exchanges only
+    the owned n_loc slice.  The circle-of-trust sort runs replicated
+    on the gathered PPR vector, as the reference sorts the full rank
+    array (wtf_enactor.cuh:403).
+    Returns (rank (n_pad,), ppr (n_pad,), ici_bytes/device)."""
+    g = shard_graph_by_dst(csr, mesh)
+    n_loc, n_pad = g.n_loc, g.n_pad
+    d = g.n_devices
+    bsrc_l, bdst_g, _ = _src_owned_edges(csr, n_loc, d, g.n, mesh)
+    GN = g.n
+    salsa_iters = int(1.0 / alpha)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS),
+                  P(EDGE_AXIS), P(EDGE_AXIS), P()),
+        out_specs=(P(), P(), P()), check_rep=False)
+    def kernel(esrc, edst_l, bsrc_loc, bdst_glob, outdeg_own, src_v):
+        me = jax.lax.axis_index(EDGE_AXIS)
+        s = src_v[0]
+        real = jnp.arange(n_pad, dtype=jnp.int32) < GN
+        valid_b = bdst_glob != GN
+        bdst_c = jnp.minimum(bdst_glob, n_pad - 1)
+        src_g_ids = me * n_loc + bsrc_loc
+        esrc_c = jnp.minimum(esrc, n_pad - 1)
+        outdeg_g = jax.lax.all_gather(outdeg_own, EDGE_AXIS, tiled=True)
+        so = jnp.maximum(outdeg_g.astype(jnp.float32), 1.0)
+
+        # dangling-removal fixpoint (pr.effective_degrees): out-degree
+        # recounts accumulate into owned srcs -> slice exchange
+        def dcond(c):
+            return c[1]
+
+        def dbody(c):
+            deg_g, _, traffic = c
+            live = valid_b & (deg_g[bdst_c] > 0) & (deg_g[src_g_ids] > 0)
+            nd_own = jnp.zeros((n_loc,), jnp.int32).at[bsrc_loc].add(
+                live.astype(jnp.int32))
+            own_old = jax.lax.dynamic_slice(deg_g, (me * n_loc,),
+                                            (n_loc,))
+            nd_own = jnp.where(own_old > 0, nd_own, 0)
+            nd_g = jax.lax.all_gather(nd_own, EDGE_AXIS, tiled=True)
+            ch = jnp.any(nd_g != deg_g)
+            return nd_g, ch, traffic + n_loc * 4
+
+        deg_g, _, traffic = jax.lax.while_loop(
+            dcond, dbody, (outdeg_g, jnp.bool_(True),
+                           jnp.int32(n_loc * 4)))
+        degf = jnp.maximum(deg_g.astype(jnp.float32), 1.0)
+
+        # phase 1: personalized PR — partials into owned dsts
+        personal = (jnp.arange(n_pad, dtype=jnp.int32) == s).astype(
+            jnp.float32)
+        rank_g0 = jnp.where(real, 1.0 - delta, 0.0)
+        active0 = (deg_g > 0) & real
+
+        def prcond(c):
+            rank_g, active, it, traffic = c
+            return jnp.any(active) & (it <= max_iter)
+
+        def prbody(c):
+            rank_g, active, it, traffic = c
+            contrib = jnp.where(active, rank_g / degf, 0.0)
+            ok = (esrc != GN) & (deg_g[esrc_c] > 0)
+            part = jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                jnp.where(ok, contrib[esrc_c], 0.0))
+            gid = me * n_loc + jnp.arange(n_loc, dtype=jnp.int32)
+            dead = jax.lax.dynamic_slice(deg_g, (me * n_loc,),
+                                         (n_loc,)) > 0
+            part = jnp.where(dead, part, 0.0)
+            nxt_own = jnp.where(
+                gid < GN, delta * part + (1.0 - delta) * personal[gid],
+                0.0)
+            nxt_g = jax.lax.all_gather(nxt_own, EDGE_AXIS, tiled=True)
+            active = (jnp.abs(nxt_g - rank_g) > threshold) & real
+            return nxt_g, active, it + 1, traffic + n_loc * 4
+
+        ppr_g, _, _, traffic = jax.lax.while_loop(
+            prcond, prbody, (rank_g0, active0, jnp.int32(0), traffic))
+
+        # phase 2: circle of trust (replicated two-key sort)
+        ids = jnp.arange(n_pad, dtype=jnp.int32)
+        _, sorted_ids = jax.lax.sort((-ppr_g, ids), num_keys=2)
+        rank_pos = jnp.zeros((n_pad,), jnp.int32).at[sorted_ids].set(ids)
+        in_cot = (rank_pos < cot_size) & real
+
+        # phases 3+4: CoT in-degree (dst-owned) + auth/hub loop
+        cot_d = (esrc != GN) & in_cot[esrc_c]
+        ci_own = jnp.zeros((n_loc,), jnp.int32).at[edst_l].add(
+            cot_d.astype(jnp.int32))
+        ci_g = jax.lax.all_gather(ci_own, EDGE_AXIS, tiled=True)
+        traffic = traffic + n_loc * 4
+        si = jnp.maximum(ci_g.astype(jnp.float32), 1.0)
+        is_src_b = (src_g_ids == s).astype(jnp.float32)
+        cot_b = valid_b & in_cot[src_g_ids]
+
+        def sbody(_, carry):
+            rank_curr, ref_curr, ref_next, traffic = carry
+            per_edge = (is_src_b * alpha / so[src_g_ids]
+                        + (1.0 - alpha) * ref_curr[bdst_c] / si[bdst_c])
+            rn_own = jnp.zeros((n_loc,), jnp.float32).at[bsrc_loc].add(
+                jnp.where(cot_b, per_edge, 0.0))
+            rank_next = jax.lax.all_gather(rn_own, EDGE_AXIS, tiled=True)
+            ref_curr2 = ref_next
+            rf_own = jnp.zeros((n_loc,), jnp.float32).at[edst_l].add(
+                jnp.where(cot_d, rank_curr[esrc_c] / so[esrc_c], 0.0))
+            ref_next2 = jax.lax.all_gather(rf_own, EDGE_AXIS, tiled=True)
+            return rank_next, ref_curr2, ref_next2, traffic + 2 * n_loc * 4
+
+        z = jnp.zeros((n_pad,), jnp.float32)
+        rank_g, _, _, traffic = jax.lax.fori_loop(
+            0, salsa_iters, sbody, (z, z, z, traffic))
+        return rank_g, ppr_g, traffic[None]
+
+    rank, ppr, traffic = jax.jit(kernel)(
+        g.edge_src, g.edge_dst_l, bsrc_l, bdst_g, g.out_degree,
+        jnp.asarray([src], jnp.int32))
+    return rank, ppr, int(traffic[0])
+
+
+def mst_dist_words(esrc_np, edst_np, w_np, n: int, mesh: Mesh):
+    """Distributed Boruvka MST with byte-accounted exchange
+    (primitives/mst.py semantics over canonical undirected edges;
+    gunrock/app/mst/mst_enactor.cuh:255-832).  Component-keyed
+    scatter-mins CANNOT be made owner-local the way the rank zoo can:
+    component ids migrate across ownership ranges every contraction,
+    so the per-round min-weight/min-edge merge is inherently a
+    replicated exchange (the reference's single-GPU MST has no
+    distribution story at all).  This version (a) merges the
+    achiever-edge selection into per-round collectives over
+    order-preserving int32 weight keys (bitwise-exact f32 compare, no
+    float pmin), and (b) reports the modeled per-device ICI bytes:
+    2 pmin vectors + compress-jump pmins, each counted at the ring
+    all-reduce cost 2*n_pad*4*(d-1)/d.
+    Returns (in_mst (m,) bool, comp (n_pad,), rounds,
+    ici_bytes/device)."""
+    d = mesh.shape[EDGE_AXIS]
+    n_pad = -(-(n + 1) // 128) * 128
+    m = len(w_np)
+    m_loc = -(-max(m, 1) // (128 * d)) * 128
+    m_pad = m_loc * d
+    pad = m_pad - m
+    es = np.concatenate([esrc_np.astype(np.int32),
+                         np.full(pad, n_pad, np.int32)])
+    ed = np.concatenate([edst_np.astype(np.int32),
+                         np.full(pad, n_pad, np.int32)])
+    # order-preserving int32 key for f32 weights: flip sign bit for
+    # non-negatives, all bits for negatives -> integer compare == float
+    # compare, and pmin stays exact (no -0.0/NaN pitfalls)
+    wb = np.ascontiguousarray(w_np, np.float32).view(np.uint32)
+    mono = np.where(wb >> 31, ~wb, wb | np.uint32(0x80000000))
+    wkey = (mono.astype(np.int64) - 0x80000000).astype(np.int32)
+    wk = np.concatenate([wkey, np.full(pad, np.iinfo(np.int32).max,
+                                       np.int32)])
+    shard = NamedSharding(mesh, P(EDGE_AXIS))
+    es, ed, wk = (jax.device_put(a, shard) for a in (es, ed, wk))
+    IMAX = jnp.iinfo(jnp.int32).max
+    rr_bytes = int(2 * n_pad * 4 * max(d - 1, 1) / d)  # per collective
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(EDGE_AXIS), P(EDGE_AXIS), P(EDGE_AXIS)),
+        out_specs=(P(EDGE_AXIS), P(), P(), P()), check_rep=False)
+    def kernel(esrc, edst, wkv):
+        real_e = esrc < n_pad
+        me = jax.lax.axis_index(EDGE_AXIS)
+        geids = me * m_loc + jnp.arange(m_loc, dtype=jnp.int32)
+
+        def cl(a):
+            return jnp.clip(a, 0, n_pad - 1)
+
+        def compress(comp, in_mst, traffic):
+            def ccond(c):
+                return c[1]
+
+            def cbody(c):
+                comp, _, traffic = c
+                cs = jnp.where(in_mst, comp[cl(esrc)], IMAX)
+                cd = jnp.where(in_mst, comp[cl(edst)], IMAX)
+                nc_l = comp.at[cl(edst)].min(cs).at[cl(esrc)].min(cd)
+                nc = jax.lax.pmin(nc_l, EDGE_AXIS)
+                nc = nc[nc]
+                nc = nc[nc]
+                ch = jax.lax.pmax(
+                    jnp.any(nc != comp).astype(jnp.int32),
+                    EDGE_AXIS) > 0
+                return nc, ch, traffic + rr_bytes
+
+            comp, _, traffic = jax.lax.while_loop(
+                ccond, cbody, (comp, jnp.bool_(True), traffic))
+            return comp, traffic
+
+        def cond(c):
+            comp, in_mst, rounds, go, traffic = c
+            return go & (rounds < 64)
+
+        def body(c):
+            comp, in_mst, rounds, _, traffic = c
+            c1, c2 = comp[cl(esrc)], comp[cl(edst)]
+            cross = (c1 != c2) & real_e
+            wq = jnp.where(cross, wkv, IMAX)
+            minw = jax.lax.pmin(
+                jnp.full((n_pad,), IMAX, jnp.int32).at[c1].min(wq)
+                .at[c2].min(wq), EDGE_AXIS)
+            ach = cross & ((wkv == minw[c1]) | (wkv == minw[c2]))
+            sel_l = jnp.full((n_pad,), IMAX, jnp.int32)
+            sel_l = sel_l.at[c1].min(
+                jnp.where(ach & (wkv == minw[c1]), geids, IMAX))
+            sel_l = sel_l.at[c2].min(
+                jnp.where(ach & (wkv == minw[c2]), geids, IMAX))
+            sel = jax.lax.pmin(sel_l, EDGE_AXIS)
+            in_mst = in_mst | ((sel[c1] == geids) | (sel[c2] == geids))
+            traffic = traffic + 2 * rr_bytes
+            comp, traffic = compress(comp, in_mst, traffic)
+            go = jax.lax.pmax(jnp.any(cross).astype(jnp.int32),
+                              EDGE_AXIS) > 0
+            return comp, in_mst, rounds + 1, go, traffic
+
+        comp0 = jnp.arange(n_pad, dtype=jnp.int32)
+        in0 = jnp.zeros((m_loc,), jnp.bool_)
+        comp, in_mst, rounds, _, traffic = jax.lax.while_loop(
+            cond, body, (comp0, in0, jnp.int32(0), jnp.bool_(True),
+                         jnp.int32(0)))
+        return in_mst, comp, rounds[None], traffic[None]
+
+    in_mst, comp, rounds, traffic = jax.jit(kernel)(es, ed, wk)
+    return (np.asarray(in_mst)[:m], np.asarray(comp), int(rounds[0]),
+            int(traffic[0]))

@@ -36,6 +36,9 @@ class Stats:
     nodes_visited: int = 0
     edges_visited: int = 0
     total_queued: int = 0
+    # device-time share of wall time, 0..1 (the reference's avg CTA
+    # duty, kernel_runtime_stats.cuh:226-290); < 0 = not measured
+    avg_duty: float = -1.0
 
     @property
     def m_teps(self) -> float:
@@ -46,16 +49,28 @@ class Stats:
 
     @property
     def redundant_pct(self) -> float:
-        if self.edges_visited == 0:
+        """Redundant work % (app/bfs/bfs_app.cu:115): queued minus
+        useful, over useful.  0 when total_queued was not tracked
+        (deterministic combines never enqueue duplicates)."""
+        if self.edges_visited == 0 or self.total_queued == 0:
             return 0.0
         return (100.0 * (self.total_queued - self.edges_visited)
                 / self.edges_visited)
 
     def display(self, name: str) -> str:
+        """Print the reference's full metric block (app/bfs/
+        bfs_app.cu:93-120): elapsed, rate, depth, avg duty,
+        nodes/edges visited, total_queued, redundant work %."""
         out = (f"[{name}] elapsed: {self.elapsed_ms:.4f} ms, rate: "
                f"{self.m_teps:.4f} MiEdges/s, search_depth: "
-               f"{self.search_depth}, nodes_visited: {self.nodes_visited}, "
-               f"edges_visited: {self.edges_visited}")
+               f"{self.search_depth}")
+        if self.avg_duty >= 0:
+            out += f", avg_duty: {100.0 * self.avg_duty:.2f}%"
+        out += (f", nodes_visited: {self.nodes_visited}, "
+                f"edges_visited: {self.edges_visited}, "
+                f"total_queued: "
+                f"{self.total_queued or self.edges_visited}, "
+                f"redundant_work: {self.redundant_pct:.2f}%")
         print(out)
         return out
 

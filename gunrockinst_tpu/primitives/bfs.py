@@ -68,7 +68,12 @@ def bfs_dense(graph: DeviceGraph, src, mark_preds: bool = True,
             pmin = jnp.full((n_pad,), INT_MAX, jnp.int32).at[edst].min(
                 jnp.where(cand, esrc, INT_MAX))
             preds = jnp.where(newf, pmin, preds)
-        queued = queued + fr.frontier_size(newf)
+        # total_queued counts expanded frontier out-edges (the
+        # reference's pre-filter advance enqueues — one per scanned
+        # edge — so redundant work % compares enqueues against useful
+        # edge visits, app/bfs/bfs_app.cu:115; deterministic dedup
+        # makes it ~0 here)
+        queued = queued + jnp.sum(active.astype(jnp.int32))
         return labels, preds, newf, depth + 1, queued
 
     labels, preds, frontier, depth, queued = jax.lax.while_loop(
@@ -170,7 +175,8 @@ def bfs_sparse(graph: DeviceGraph, src, mark_preds: bool = True,
         labels = jnp.where(newf, depth + 1, labels)
         if mark_preds:
             preds = jnp.where(newf, pmin, preds)
-        queued = queued + fr.frontier_size(newf)
+        # expanded out-edges of the frontier (see bfs_dense's note)
+        queued = queued + need
         return labels, preds, newf, depth + 1, queued
 
     labels, preds, frontier, depth, queued = jax.lax.while_loop(
@@ -221,7 +227,10 @@ def run(graph: GraphLike, src: int, mark_preds: bool = True,
                           if visited.any() else 0),
             nodes_visited=int(visited.sum()),
             edges_visited=int(deg[visited].sum()),
-            total_queued=int(visited.sum()),
+            # pull kernel: every visited vertex's out-edges are scanned
+            # exactly once from the frontier side, dedup is exact (bit
+            # OR) — enqueue count == useful edge visits, 0% redundant
+            total_queued=int(deg[visited].sum()),
         )
         return BfsResult(labels=labels_np, preds=preds_np, stats=stats)
 

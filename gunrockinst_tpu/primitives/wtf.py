@@ -76,6 +76,19 @@ def run(graph: GraphLike, src: int, alpha: float = 0.2,
     salsa_iters = int(1.0 / alpha)
     cot_size = min(cot_size, g.n)
 
+    # warm-up: trace/compile both jitted phases outside the timing
+    # window (every other primitive does the same — the reference's
+    # GpuTimer never includes nvcc's work either)
+    ppr_w, _ = pr_kernel(g, jnp.float32(delta), jnp.float32(threshold),
+                         jnp.int32(src), max_iter=max_iter)
+    sync(ppr_w[0])
+    warm_cot = np.zeros(g.n_pad, dtype=bool)
+    warm_cot[: min(cot_size, g.n)] = True
+    rank_w, _ = wtf_salsa_kernel(g, jnp.asarray(warm_cot),
+                                 jnp.int32(src), jnp.float32(alpha),
+                                 salsa_iters)
+    sync(rank_w[0])
+
     with Timer() as t:
         ppr, _ = pr_kernel(g, jnp.float32(delta), jnp.float32(threshold),
                            jnp.int32(src), max_iter=max_iter)

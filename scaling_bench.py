@@ -54,7 +54,10 @@ def main():
     from gunrockinst_tpu.graph.csr import CsrGraph
     from gunrockinst_tpu.parallel.dist_words import (
         bc_dist_words, bfs_dist_words, cc_dist_words, dobfs_dist_words,
-        pagerank_dist_words, shard_graph_by_dst, sssp_dist_words)
+        hits_dist_words, mis_dist_words, mst_dist_words,
+        pagerank_dist_words, salsa_dist_words, shard_graph_by_dst,
+        sssp_dist_words, topk_dist_words, wtf_dist_words)
+    from gunrockinst_tpu.primitives import mst as mst_p
 
     # symmetrized edge set for weak-connectivity CC
     esrc_u = np.repeat(np.arange(csr.num_nodes, dtype=np.int64),
@@ -104,6 +107,24 @@ def main():
         _, b_depth, b_traffic = bc_dist_words(csr, src, mesh)
         _, _, do_depth, do_pulls, do_traffic = dobfs_dist_words(
             sgw, src, mesh)
+        # round-4 tier: the rest of the zoo (verdict item 4 — ICI
+        # bytes/device reported for ALL 12 primitives)
+        _, _, h_traffic = hits_dist_words(csr, mesh, src=src,
+                                          max_iter=10)
+        _, _, sa_traffic = salsa_dist_words(csr, mesh, max_iter=10)
+        rngp = np.random.default_rng(0)
+        prio = np.zeros(sgw.n_pad, np.int32)
+        prio[: csr.num_nodes] = rngp.permutation(
+            csr.num_nodes).astype(np.int32)
+        _, _, mi_traffic = mis_dist_words(csr, mesh, prio)
+        _, _, tk_traffic = topk_dist_words(csr, mesh, 100)
+        _, _, wt_traffic = wtf_dist_words(csr, mesh, src=src,
+                                          cot_size=100, max_iter=10)
+        wcsr = rmat_graph(args.scale, args.edgefactor, undirected=True,
+                          seed=42, with_values=True)
+        ces, ced, cwv = mst_p.canonical_edges(wcsr)
+        _, _, _, ms_traffic = mst_dist_words(ces, ced, cwv,
+                                             wcsr.num_nodes, mesh)
 
         if base_rate is None:
             base_rate = rate
@@ -114,7 +135,9 @@ def main():
             words_bfs_meps=edges_visited / wdt / 1e6,
             ici_bytes_per_device=dict(
                 bfs=wtraffic, sssp=s_traffic, pr=p_traffic,
-                cc=c_traffic, bc=b_traffic, dobfs=do_traffic),
+                cc=c_traffic, bc=b_traffic, dobfs=do_traffic,
+                hits=h_traffic, salsa=sa_traffic, mis=mi_traffic,
+                topk=tk_traffic, wtf=wt_traffic, mst=ms_traffic),
             dobfs_pull_levels=f"{do_pulls}/{do_depth}",
             ici_bytes_dense_equiv=dense_bytes,
             ici_reduction=round(dense_bytes / max(wtraffic, 1), 1)))
@@ -122,6 +145,8 @@ def main():
               f"efficiency {eff:.2f}; word-exchange {wdt*1e3:.1f} ms, "
               f"ICI B/dev: bfs {wtraffic} sssp {s_traffic} "
               f"pr {p_traffic} cc {c_traffic} bc {b_traffic} "
+              f"hits {h_traffic} salsa {sa_traffic} mis {mi_traffic} "
+              f"topk {tk_traffic} wtf {wt_traffic} mst {ms_traffic} "
               f"vs {dense_bytes} B dense-bfs "
               f"({dense_bytes/max(wtraffic,1):.0f}x less)",
               file=sys.stderr)
