@@ -82,19 +82,40 @@ class MegaPlan:
     pk_out_row: np.ndarray
     pk_idx: np.ndarray          # (Tp+pad, 128) int32 g0|g1<<8|l<<16
     pk_rs: np.ndarray
+    rows_per_reg: int = ROWS_PER_REGION
 
 
 def build_mega_plan(adj_row_offsets: np.ndarray,
-                    adj_col_indices: np.ndarray, n: int) -> MegaPlan:
+                    adj_col_indices: np.ndarray, n: int,
+                    gather_region: int = 32768) -> MegaPlan:
     """Region-ranged v3 tile plan: subtiles=1 (no grid padding), plus
     per-region subtile ranges and CHUNK dummy tail padding so chunk
-    overshoot stays in-bounds."""
+    overshoot stays in-bounds.
+
+    gather_region stays 32768 by DEFAULT after a full round-4 sweep of
+    alternatives measured WORSE at rmat-s20 (r3 baseline 17.3
+    ms/search):
+      * gather_region=4096 (single-take gather): pk cells shrink to
+        ~3.8 edges, and since a pk lane can hold only ONE cell the
+        packing collapses (pk 33.4K -> 91.2K tiles, util 0.57 -> 0.26)
+        — 29.1 ms/search even branchless.
+      * fine-region DMA segments: 1-3 chunks per segment starve the
+        4-deep copy pipeline — 172 ms/search.
+      * per-subtile work-skip conditionals, vector-derived OR scalar
+        SMEM flags: each pl.when breaks Mosaic's software pipelining
+        of the chunk loop (~0.3-1 us per subtile) — 147-209 ms/search.
+    The 8-row select-tree gather + 32K-region skip + big-cell packing
+    is a genuine local optimum; the rpr==1 path is kept for
+    experimentation on denser graphs."""
     plan = build_pull_plan_v3(adj_row_offsets, adj_col_indices, n,
-                              subtiles=1)
+                              subtiles=1, gather_region=gather_region)
+    rpr = gather_region // 4096
     R = plan.n_words // (ROWS_PER_REGION * 128)
     pad = 256    # >= any chunk overshoot (max tunable chunk)
 
     def region_ranges(row_base, count):
+        # row_base is in frontier-ROW units; group by 8-row (32K
+        # vertex) super-region for the DMA stream
         regions = row_base // ROWS_PER_REGION
         rs = np.searchsorted(regions, np.arange(R + 1)).astype(np.int32)
         assert rs[-1] == count
@@ -130,44 +151,64 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
         pk_out_row=pad_meta(plan.pk_out_row, 0, pad),
         pk_idx=pk_idx,
         pk_rs=pk_rs,
+        rows_per_reg=rpr,
     )
 
 
-def _gather_active(src, row_base, fr_ref):
-    """8-row region select tree -> per-edge frontier bit (reads the
-    in-VMEM frontier; see pallas_advance_v2._gather_active)."""
+def _gather_active(src, row_base, fr_ref, rpr: int, dummy: int):
+    """Per-edge frontier bit from the in-VMEM frontier words.
+
+    rpr == 1 (gather_region 4096): the subtile's sources all live in
+    frontier row `row_base`, so the gather is ONE lane-gather over the
+    broadcast row plus a dummy-slot mask (padding slots carry src ==
+    dummy whose word would be read from the wrong row) — ~6 wide ops.
+    rpr == 8 (legacy 32768): 8-step select tree; dummy slots fall out
+    of the rel range and read zero implicitly."""
     widx = src >> 5
     lane = widx & 127
+    if rpr == 1:
+        rw = jnp.broadcast_to(fr_ref[pl.ds(row_base, 1), :], (8, 128))
+        g = jnp.take_along_axis(rw, lane, axis=1)
+        g = jnp.where(src == dummy, 0, g)
+        return (g >> (src & 31)) & 1
     rel = (widx >> 7) - row_base
     g = jnp.zeros((8, 128), jnp.int32)
-    for r in range(ROWS_PER_REGION):
+    for r in range(rpr):
         rw = jnp.broadcast_to(fr_ref[pl.ds(row_base + r, 1), :], (8, 128))
         g = jnp.where(rel == r, jnp.take_along_axis(rw, lane, axis=1), g)
     return (g >> (src & 31)) & 1
 
 
 def _hub_group(base, buf_ref, kbase, hrb, hor, hol, fr_ref, nx_ref,
-               lane_iota):
+               lane_iota, rpr, dummy):
     """UNROLL consecutive hub subtiles with the cross-lane OR tree
     BATCHED: the per-subtile (1,128) sublane-reduced rows stack into
     one (UNROLL,128) register, so the 7-step all-lane roll tree runs
     once per group instead of once per subtile (saves ~14 wide ops per
     subtile — the rolls were the single biggest hub cost in
-    scripts/microbench_gather.py)."""
+    scripts/microbench_gather.py).  Work skipping (round-3 verdict
+    item 1) at 4096-vertex source granularity rides the `ract`
+    frontier-row-activity SCALARS (computed in XLA per level, read
+    from SMEM): the whole group is skipped when none of its subtiles'
+    source rows hold a frontier bit.  Deriving the same condition from
+    the in-VMEM frontier (jnp.any + pl.when) costs ~1 us of
+    vector->scalar sync PER TEST — measured 172-209 ms/search, 10x
+    worse than no skipping at all."""
     rows = []
     for u in range(UNROLL):
         k = kbase + u
         packed = buf_ref[pl.ds(8 * k, 8), :]
         src = packed & SRC_MASK
         shift = packed >> SHIFT_BITS
-        active = _gather_active(src, hrb[base + u], fr_ref)
+        active = _gather_active(src, hrb[base + u], fr_ref, rpr,
+                                dummy)
         bitval = active << shift
         v = bitval[0:4, :] | bitval[4:8, :]
         v = v[0:2, :] | v[2:4, :]
         rows.append(v[0:1, :] | v[1:2, :])
-    vg = jnp.concatenate(rows, axis=0)           # (UNROLL, 128)
+    vg = jnp.concatenate(rows, axis=0)       # (UNROLL, 128)
     for sh in (64, 32, 16, 8, 4, 2, 1):
-        vg = vg | pltpu.roll(vg, sh, axis=1)     # per-row all-lane OR
+        vg = vg | pltpu.roll(vg, sh, axis=1)  # all-lane OR
     for u in range(UNROLL):
         t = base + u
         placed = jnp.where(lane_iota == hol[t], vg[u:u + 1, :], 0)
@@ -176,13 +217,19 @@ def _hub_group(base, buf_ref, kbase, hrb, hor, hol, fr_ref, nx_ref,
 
 
 def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
-                   mle, sub_iota, shifts, dead):
+                   mle, sub_iota, shifts, dead, rpr, dummy):
     """k = chunk-local subtile index; v3 placement (suffix-OR runs +
-    per-lane singles, pallas_advance_v3._v3_subtile)."""
+    per-lane singles, pallas_advance_v3._v3_subtile).
+
+    NO per-subtile conditionals: both a vector-derived pl.when
+    (jnp.any of the gathered bits) and a scalar-SMEM-flag pl.when were
+    measured at 147-209 ms/search vs 17 ms without — per-subtile
+    control flow breaks Mosaic's software pipelining of the unrolled
+    chunk loop.  Work skipping stays at the region-loop granularity."""
     packed = buf_ref[pl.ds(8 * k, 8), :]
     src = packed & SRC_MASK
     shift = packed >> SHIFT_BITS
-    active = _gather_active(src, prb[t], fr_ref)
+    active = _gather_active(src, prb[t], fr_ref, rpr, dummy)
     bitval = active << shift
     red8 = bitval[0:4, :] | bitval[4:8, :]
     red8 = red8[0:2, :] | red8[2:4, :]
@@ -190,7 +237,8 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
     sfx = red8
     for d in (1, 2, 4):
         sfx = sfx | (pltpu.roll(sfx, 128 - d, axis=1) & mle[d])
-    op = jnp.where(sub_iota < 4, jnp.broadcast_to(sfx, (8, 128)),
+    op = jnp.where(sub_iota < 4,
+                   jnp.broadcast_to(sfx, (8, 128)),
                    jnp.broadcast_to(red8, (8, 128)))
     vb = jnp.broadcast_to(pibuf_ref[pl.ds(k, 1), :], (8, 128))
     idx = ((vb >> shifts) & 127) | dead
@@ -202,7 +250,8 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
 
 def _make_step_kernel(R: int, rows: int, planes: int,
                       chunk: int = CHUNK, slots: int = SLOTS,
-                      unroll: int = UNROLL):
+                      unroll: int = UNROLL,
+                      rpr: int = ROWS_PER_REGION, dummy: int = 0):
     """One full BFS LEVEL per pallas call: pull sweep + visited cull +
     bit-plane label update, all in VMEM.  The level loop lives in XLA
     (bfs_pallas.get_fused_bfs jits a lax.while_loop of steps) but the
@@ -217,7 +266,8 @@ def _make_step_kernel(R: int, rows: int, planes: int,
     CHUNK, SLOTS, UNROLL = chunk, slots, unroll   # shadow defaults
     GROUPS = CHUNK // UNROLL
 
-    def kernel(dscal, hrb, hor, hol, hrs, prb, por, prs,  # scalars
+    def kernel(dscal, hrb, hor, hol, hrs, prb, por, prs,
+               ract,                                      # scalars
                hub_hbm, pk_hbm, pkidx_hbm,                # HBM tiles
                fr_ref, vw_ref, pl_ref,                    # VMEM inputs
                nfw_ref, vwo_ref, plo_ref,                 # VMEM outputs
@@ -259,7 +309,8 @@ def _make_step_kernel(R: int, rows: int, planes: int,
 
                 base = start + c * CHUNK + g * UNROLL
                 _hub_group(base, hbuf.at[slot], g * UNROLL,
-                           hrb, hor, hol, fr_ref, out_ref, lane_iota)
+                           hrb, hor, hol, fr_ref, out_ref, lane_iota,
+                           rpr, dummy)
 
                 @pl.when(g == GROUPS - 1)
                 def _():
@@ -291,7 +342,8 @@ def _make_step_kernel(R: int, rows: int, planes: int,
                     _pk_subtile_v3(base + u, pbuf.at[slot],
                                    pibuf.at[slot], g * UNROLL + u,
                                    prb, por, fr_ref, out_ref,
-                                   mle, sub_iota, shifts, dead)
+                                   mle, sub_iota, shifts, dead,
+                                   rpr, dummy)
 
                 @pl.when(g == GROUPS - 1)
                 def _():
@@ -303,8 +355,16 @@ def _make_step_kernel(R: int, rows: int, planes: int,
             jax.lax.fori_loop(0, nchunks * GROUPS, body, 0)
 
         def region(r, _):
-            reg_any = jnp.any(fr_ref[pl.ds(r * ROWS_PER_REGION,
-                                           ROWS_PER_REGION), :] != 0)
+            # DMA-stream + compute skip at 32K super-region
+            # granularity (finer granularity starves the 4-deep copy
+            # pipeline / breaks the chunk loop's software pipelining);
+            # the test is a scalar OR of the XLA-computed per-row
+            # activity flags — one branch per REGION is fine, one per
+            # subtile is not (see _pk_subtile_v3)
+            reg_any = ract[r * ROWS_PER_REGION]
+            for rr in range(1, ROWS_PER_REGION):
+                reg_any = reg_any | ract[r * ROWS_PER_REGION + rr]
+            reg_any = reg_any != 0
 
             @pl.when(reg_any)
             def _():
@@ -386,11 +446,12 @@ class MegaStepper:
         )
 
         kernel = _make_step_kernel(R, rows, planes, chunk=chunk,
-                                   slots=slots, unroll=unroll)
+                                   slots=slots, unroll=unroll,
+                                   rpr=plan.rows_per_reg, dummy=plan.n)
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=8,
+                num_scalar_prefetch=9,
                 grid=(1,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.ANY),
@@ -423,6 +484,11 @@ class MegaStepper:
 
         def step_with(scal, hbm, fw, vw, pln, d):
             d_arr = jnp.asarray([d], jnp.int32)
-            return self.fn(d_arr, *scal, *hbm, fw, vw, pln)
+            # per-row frontier activity flags: the kernel's scalar
+            # work-skip tests read these from SMEM (a tiny XLA
+            # any-reduce per level — vector-derived pl.when conditions
+            # in-kernel cost ~1 us each)
+            ract = jnp.any(fw != 0, axis=1).astype(jnp.int32)
+            return self.fn(d_arr, *scal, ract, *hbm, fw, vw, pln)
 
         self.step_with = step_with

@@ -9,25 +9,30 @@ pull sweep performs with values instead of bits:
 The blocker was always the VALUE GATHER: `value[src]` for 1024 random
 sources needs dynamic addressing Mosaic only offers as a lane gather on
 (8,128) operands, so the addressable window per select-tree row is
-tiny.  The resolution here is the BIT-MAJOR accumulator layout
+tiny.  The resolution is the WORD-ROW-MAJOR accumulator layout
+(round 4 — replacing round 3's bit-major layout):
 
-    acc[(v % 32) * rows_w + (v // 32) // 128,  (v // 32) % 128] = value[v]
+    acc[(v // 4096) * 32 + (v % 32),  (v // 32) % 128] = value[v]
 
-(32 row-groups, one per position-in-word).  For a 4096-vertex source
-region, EACH of the 32 row-groups contributes exactly ONE row, so a
-full exact 32-bit value gather is a 32-step select tree over single
-rows — ~8x cheaper than bit-plane staging (which pays 8 rows x 32
-planes) and width-independent: f32 and int cost the same.  The same
-layout makes the destination side a single dynamic-row read-modify-
-write per (bit-position g, word-row): the g-loop walks the 32 bit
-positions of the output word-row in batches of 8, sharing the roll/
-route work across a (8,128) register of per-g partial rows.
+i.e. each 4096-vertex word-row owns 32 CONSECUTIVE acc rows, one per
+position-in-word.  Gather: for a 4096-vertex source region, bit group
+g contributes exactly one row (q*32+g), so a full exact 32-bit value
+gather is a 32-step select tree over single rows — width-independent:
+f32 and int cost the same.  Scatter: the 32 rows of one destination
+word-row are CONTIGUOUS, so the whole per-subtile output lands in ONE
+dynamic (32,128) block read-modify-write instead of round 3's 32
+chained single-row RMWs (measured 62 ms/sweep at rmat-s20, dominated
+by exactly those RMWs + the doubled 64-step gather of the 8192-vertex
+regions; see scripts/profile_value_r4.py).
 
 Tile geometry is pallas_advance_v2's hub/packed packer on cells
 (source region, destination word): region 4096 costs packing density
-(cells shrink ~8x vs the BFS kernel's 32K regions; ~0.44 slot
-utilization on rmat-s20) but the sweep is compute-bound, so cheap
-gathers win.  Streaming is pallas_mega.py's: grid=(1,), 4-deep manual
+(~0.44 slot utilization on rmat-s20) but the sweep is compute-bound,
+so cheap gathers win.  Subtiles whose gathered candidates are ALL the
+comb identity skip the entire reduce/route/RMW half (`pl.when`) — on
+late sparse rounds (SSSP/CC tails, converged PR regions) most
+subtiles skip, which is exact: combining the identity is a no-op.
+Streaming is pallas_mega.py's: grid=(1,), 4-deep manual
 `make_async_copy` chunks, per-region subtile ranges — with one change:
 region chunk lists are PADDED to CHUNK multiples instead of letting
 chunks overshoot into the next region (overshoot re-processes subtiles,
@@ -70,18 +75,24 @@ from jax.experimental.pallas import tpu as pltpu
 from gunrockinst_tpu.ops.pallas_advance_v2 import (
     TILE_E, HUB_T, SHIFT_BITS, SRC_MASK, LANES_USED, BLOCKS)
 
-REGION_V = 8192     # source vertices per region.  Every 4096 vertices
-                    # add one row per bit-major row-group to the gather
-                    # select tree (RPG below); bigger regions buy
-                    # packing density (supercells end in a partial tail
-                    # tile, so more edges per supercell = less waste)
-                    # at the price of a deeper gather.  8192 balances
-                    # the two on rmat-s20.
-RPG = REGION_V // 4096   # value/word rows per region per row-group
-NUM_LSEL = 6        # independent lane-placement idx rows per tile (a
-                    # word may own this many 8-slot lane chunks in one
-                    # tile before deferring to the next; 6 lets cells
-                    # up to 48 edges land in one tile)
+REGION_V = 4096     # source vertices per region = ONE word-row.  Each
+                    # bit group's value row is then unique per region,
+                    # so the gather tree is exactly 32 steps (round 3's
+                    # 8192 regions paid 64).
+RPG = REGION_V // 4096   # word rows per region (1)
+PAIR_W = 256        # destination words per pk supercell = a ROW PAIR.
+                    # Measured at rmat-s20: one-row supercells leave
+                    # ~half a tile of boundary waste each (91.8K pk
+                    # subtiles, 0.29 slot utilization); pairing rows
+                    # halves the supercell count and the pair's 64 acc
+                    # rows stay CONTIGUOUS for the single block RMW.
+DMA_REGS = 8        # regions per DMA super-region (32768 sources).
+                    # The copy pipeline needs several CHUNKs in flight;
+                    # per-4096-region chunk lists starved it (the mega
+                    # kernel hit the same wall — 10x slowdown).
+NUM_LSEL = 6        # independent lane-placement idx rows per tile per
+                    # word (a word may own this many 8-slot lane chunks
+                    # in one tile before deferring to the next)
 CHUNK = 32          # subtiles per DMA chunk
 SLOTS = 4
 VMEM_LIMIT_BYTES = 14 * 1024 * 1024
@@ -89,6 +100,7 @@ SMEM_META_LIMIT = 3 * 256 * 1024   # per-subtile scalar metadata budget
 
 I32_MAX = np.int32(2**31 - 1)
 DUMMY_PACKED = np.int64(SRC_MASK)  # src field all-ones: no real vertex
+EMPTY_BYTE4 = np.int64(0x7F7F7F7F)  # 4 bytes of lane 127 (reads IDENT)
 
 
 def _cdiv(a, b):
@@ -109,15 +121,15 @@ class ValuePlan:
     # hub flavor: one destination WORD (32 vertices) per subtile
     hub_tiles: np.ndarray       # (Th*8, 128) int32 src|shift<<26
     hub_meta: np.ndarray        # (Th,) int32: q<<19 | row<<7 | lane
-    hub_rs: np.ndarray          # (R+1,) int32 region -> subtile range
+    hub_rs: np.ndarray          # (Rd+1,) int32 DMA-super-region ranges
     hub_w: Optional[np.ndarray]  # (Th*8, 128) int32 (f32 bits)
-    # packed flavor: one destination word-ROW (4096 vertices) per subtile
+    # packed flavor: one destination row PAIR (8192 verts) per subtile
     pk_tiles: np.ndarray
-    pk_meta: np.ndarray         # (Tp,) int32: q<<12 | row
-    pk_idx: np.ndarray          # (Tp*2, 128) BYTE-packed placement
-                                # maps: row 2t   = maps 0-3 (group,
-                                # lane0-2), row 2t+1 = maps 4-6
-                                # (lane3-5); map j at bits 8*(j%4)
+    pk_meta: np.ndarray         # (Tp,) int32: q<<12 | pair
+    pk_idx: np.ndarray          # (Tp*4, 128) BYTE-packed placement
+                                # maps: 14 maps [g,l0..l5] x {row0,
+                                # row1}; map j at row j//4, bits
+                                # 8*(j%4)
     pk_rs: np.ndarray
     pk_w: Optional[np.ndarray]
 
@@ -143,7 +155,10 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     dst = np.repeat(np.arange(n, dtype=np.int64),
                     np.diff(adj_row_offsets)).astype(np.int64)
     src = adj_col_indices.astype(np.int64)
-    num_regions = max(1, _cdiv(n + 1, REGION_V))
+    # regions padded to a DMA-super-region multiple (also keeps rows_w
+    # even for the row-pair supercells)
+    num_regions = _cdiv(max(1, _cdiv(n + 1, REGION_V)),
+                        DMA_REGS) * DMA_REGS
     n_words = num_regions * (REGION_V // 32)
     has_w = weights is not None
     wbits = (np.ascontiguousarray(weights, np.float32).view(np.int32)
@@ -205,8 +220,8 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     for c in np.nonzero(~hub_cell & (cell_count > 0))[0]:
         s, cnt = int(cell_start[c]), int(cell_count[c])
         w = int(cell_word[c])
-        super_key = (int(cell_region[c]), w // 128)
-        wl = w % 128
+        super_key = (int(cell_region[c]), w // PAIR_W)
+        wl = w % PAIR_W
         cls, off = 0, 0
         while cnt - off >= 64:
             chunks.append((super_key, cls, True, wl, s + off, 64))
@@ -225,24 +240,27 @@ def build_value_plan(adj_row_offsets: np.ndarray,
 
 
     def pack_idx(maps):
-        """7 byte-valued (128,) maps -> (2,128) int32 rows (the idx
-        stream is pure upload/DMA overhead — byte packing cuts it 4x;
-        tunnel host->HBM runs at only ~0.2-4 MB/s)."""
-        rows = np.zeros((2, 128), np.int32)
+        """14 byte-valued (128,) maps ([g, l0..l5] for each row of the
+        pair) -> (4,128) int32 rows; map j lands at row j//4, bits
+        8*(j%4).  The idx stream is pure upload/DMA overhead — byte
+        packing cuts it 4x (tunnel host->HBM runs at ~0.2-4 MB/s)."""
+        rows = np.full((4, 128), EMPTY_BYTE4, np.int64)
         for j, mp in enumerate(maps):
-            rows[j // 4] |= mp.astype(np.int32) << (8 * (j % 4))
-        return rows
+            rows[j // 4] &= ~(np.int64(0xFF) << (8 * (j % 4)))
+            rows[j // 4] |= mp.astype(np.int64) << (8 * (j % 4))
+        return rows.astype(np.int32)
 
     pk_tiles_list, pk_w_list, pk_meta = [], [], []
-    pk_idx_rows_list = []   # per tile: (1 + NUM_LSEL, 128) idx rows
+    pk_idx_rows_list = []   # per tile: (4, 128) byte-packed idx rows
     for super_key, (gchunks, lchunks) in sorted(by_super.items()):
-        q, out_row = super_key
+        q, pair = super_key
         gq, lq = deque(gchunks), deque(lchunks)
         while gq or lq:
             tile = np.full((8, 128), DUMMY_PACKED, np.int64)
             wtile = np.zeros((8, 128), np.int32) if has_w else None
-            idx_g = np.full(128, 120, np.int32)
-            idx_ls = [np.full(128, 127, np.int32)
+            # per-word maps over the PAIR_W words of the row pair
+            idx_g = np.full(PAIR_W, 120, np.int32)
+            idx_ls = [np.full(PAIR_W, 127, np.int32)
                       for _ in range(NUM_LSEL)]
             used_g = set()
             used_l = [set() for _ in range(NUM_LSEL)]
@@ -287,20 +305,24 @@ def build_value_plan(adj_row_offsets: np.ndarray,
             lq.extendleft(defer)
             pk_tiles_list.append(tile)
             pk_w_list.append(wtile)
-            pk_meta.append((q, out_row))
-            pk_idx_rows_list.append(pack_idx([idx_g] + idx_ls))
+            pk_meta.append((q, pair))
+            maps0 = [idx_g[:128]] + [ls[:128] for ls in idx_ls]
+            maps1 = [idx_g[128:]] + [ls[128:] for ls in idx_ls]
+            pk_idx_rows_list.append(pack_idx(maps0 + maps1))
 
-    # -------- region-aligned CHUNK padding + region ranges --------
-    R = num_regions
+    # ---- DMA-super-region CHUNK padding + super-region ranges ----
+    R = num_regions // DMA_REGS    # DMA super-regions
     dummy_tile = np.full((8, 128), DUMMY_PACKED, np.int64)
     dummy_w = np.zeros((8, 128), np.int32)
 
-
     dummy_idx = pack_idx([np.full(128, 120, np.int32)]
+                         + [np.full(128, 127, np.int32)] * 6
+                         + [np.full(128, 120, np.int32)]
                          + [np.full(128, 127, np.int32)] * 6)
 
     def finalize(tiles_list, w_list, meta_list, idx_list, is_hub):
-        regions_of = np.asarray([mt[0] for mt in meta_list], np.int64)
+        regions_of = np.asarray([mt[0] // DMA_REGS
+                                 for mt in meta_list], np.int64)
         bounds = np.searchsorted(regions_of, np.arange(R + 1))
         out_tiles, out_w, out_meta, out_idx = [], [], [], []
         rs = [0]
@@ -360,11 +382,11 @@ _unweighted_plan_cache: "weakref.WeakKeyDictionary" = \
 
 def get_unweighted_plan(csr) -> "ValuePlan":
     """Shared unweighted pull plan per CsrGraph.  SSSP-with-uniform-
-    weights, PageRank, and CC (when the graph is already symmetric)
-    run over identical tiles, so they share ONE host-side build and —
-    via the device-array cache ValueStepper keeps on the plan — ONE
-    host->HBM upload (~300 MB at rmat-s20 over a ~1-4 MB/s tunnel)
-    instead of three."""
+    weights, PageRank, CC (when the graph is already symmetric), and
+    the HITS/SALSA forward sweeps run over identical tiles, so they
+    share ONE host-side build and — via the device-array cache
+    ValueStepper keeps on the plan — ONE host->HBM upload (~300 MB at
+    rmat-s20 over a ~1-4 MB/s tunnel) instead of several."""
     hit = _unweighted_plan_cache.get(csr)
     if hit is not None:
         return hit
@@ -375,13 +397,40 @@ def get_unweighted_plan(csr) -> "ValuePlan":
     return plan
 
 
+_reverse_plan_cache: "weakref.WeakKeyDictionary" = \
+    weakref.WeakKeyDictionary()
+
+
+def get_reverse_plan(csr) -> "ValuePlan":
+    """Pull plan over the REVERSE graph (accumulate into SOURCES over
+    their out-edges) — the hub-side sweep of HITS/SALSA/WTF
+    (gunrock/app/hits keeps both CSR and CSC for the same reason,
+    hits_problem.cuh:53-58).  For symmetric graphs this IS the forward
+    plan, so the build + upload + kernel compile are all shared."""
+    hit = _reverse_plan_cache.get(csr)
+    if hit is not None:
+        return hit
+    csc = csr.transposed()
+    if (csc.row_offsets.shape == csr.row_offsets.shape
+            and np.array_equal(csc.row_offsets, csr.row_offsets)
+            and np.array_equal(csc.col_indices, csr.col_indices)):
+        plan = get_unweighted_plan(csr)
+    else:
+        plan = build_value_plan(csr.row_offsets, csr.col_indices,
+                                csr.num_nodes)
+    _reverse_plan_cache[csr] = plan
+    return plan
+
+
 # --------------------------------------------------------------------
-# bit-major layout helpers (host)
+# word-row-major layout helpers (host)
 # --------------------------------------------------------------------
 
 def to_bitmajor_np(vals: np.ndarray, rows_w: int) -> np.ndarray:
-    """(N,) int32/f32 vertex-major -> (32*rows_w, 128) int32 bit-major:
-    out[g*rows_w + r, l] = vals[(r*128 + l)*32 + g]."""
+    """(N,) int32/f32 vertex-major -> (32*rows_w, 128) int32
+    word-row-major: out[r*32 + g, l] = vals[(r*128 + l)*32 + g].
+    (The name predates the round-4 relayout; every caller goes through
+    these helpers, so only the kernel and this pair know the order.)"""
     total = rows_w * 128 * 32
     v = np.zeros(total, np.int32)
     x = np.ascontiguousarray(vals)
@@ -389,16 +438,16 @@ def to_bitmajor_np(vals: np.ndarray, rows_w: int) -> np.ndarray:
         x = x.astype(np.float32).view(np.int32)
     v[: x.shape[0]] = x
     return np.ascontiguousarray(
-        v.reshape(rows_w, 128, 32).transpose(2, 0, 1)
+        v.reshape(rows_w, 128, 32).transpose(0, 2, 1)
     ).reshape(32 * rows_w, 128)
 
 
 def from_bitmajor_np(acc: np.ndarray, n: int,
                      dtype=np.int32) -> np.ndarray:
-    """(32*rows_w, 128) int32 -> (n,) vertex-major values."""
+    """(32*rows_w, 128) int32 word-row-major -> (n,) vertex-major."""
     rows_w = acc.shape[0] // 32
     v = np.ascontiguousarray(
-        acc.reshape(32, rows_w, 128).transpose(1, 2, 0)).reshape(-1)
+        acc.reshape(rows_w, 32, 128).transpose(0, 2, 1)).reshape(-1)
     v = v[:n]
     if dtype == np.float32:
         return v.view(np.float32).copy()
@@ -449,7 +498,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
     def as_bits(x):
         return jax.lax.bitcast_convert_type(x, jnp.int32) if f32 else x
 
-    def kernel(hmeta, hrs, pmeta, prs,                     # scalars
+    def kernel(hmeta, hrs, pmeta, prs, ract,               # scalars
                hub_hbm, pk_hbm, pkidx_hbm, *rest):
         if has_w:
             hw_hbm, pw_hbm, acc_hbm, ch_ref = rest[:4]
@@ -467,6 +516,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             hwbuf = pwbuf = None
 
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        g_iota32 = jax.lax.broadcasted_iota(jnp.int32, (32, 128), 0)
 
         # ---- prologue: round-start snapshot + RMW target ----
         cp = pltpu.make_async_copy(acc_hbm, vals, csem.at[0])
@@ -485,19 +535,15 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             shift = packed >> SHIFT_BITS
             lane = (src >> 5) & 127
             gsrc = src & 31
-            rel = (src >> 12) - q * RPG   # value/word row within region
-            # full 32-bit value gather: RPG rows per bit-position group
+            # word-row-major gather: bit group g of region q lives in
+            # the single row q*32+g — a 32-step select tree
             vbits = jnp.zeros((8, 128), jnp.int32)
             for gs in range(32):
-                base = gs * rows_w + q * RPG
-                t = jnp.zeros((8, 128), jnp.int32)
-                for rr in range(RPG):
-                    rw = jnp.broadcast_to(
-                        vals[pl.ds(base + rr, 1), :], (8, 128))
-                    t = jnp.where(
-                        rel == rr,
-                        jnp.take_along_axis(rw, lane, axis=1), t)
-                vbits = jnp.where(gsrc == gs, t, vbits)
+                rw = jnp.broadcast_to(
+                    vals[pl.ds(q * 32 + gs, 1), :], (8, 128))
+                vbits = jnp.where(
+                    gsrc == gs,
+                    jnp.take_along_axis(rw, lane, axis=1), vbits)
             v = as_val(vbits)
             if has_w:
                 v = v + as_val(wtile)
@@ -505,38 +551,53 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                 v = v + (jnp.float32(const_w) if f32
                          else jnp.int32(const_w))
             if use_active:
-                cw = jnp.zeros((8, 128), jnp.int32)
-                for rr in range(RPG):
-                    crow = jnp.broadcast_to(
-                        ch_ref[pl.ds(q * RPG + rr, 1), :], (8, 128))
-                    cw = jnp.where(
-                        rel == rr,
-                        jnp.take_along_axis(crow, lane, axis=1), cw)
-                a = (cw >> (src & 31)) & 1
+                crow = jnp.broadcast_to(
+                    ch_ref[pl.ds(q, 1), :], (8, 128))
+                cw = jnp.take_along_axis(crow, lane, axis=1)
+                a = (cw >> gsrc) & 1
                 v = jnp.where(a == 1, v, IDENT)
             # padding slots carry src == SRC_MASK (no real vertex)
             cand = jnp.where(src == SRC_MASK, IDENT, v)
             return cand, shift
 
-        def rmw(g, row, placed, impacc):
-            """Accumulate comb into acc row (g, row); returns updated
-            per-subtile improvement-bit register.  The changed-word RMW
-            itself happens ONCE per subtile (flush_changed) — 64 chained
-            read-modify-writes of one dynamically addressed row per
-            subtile sent the Mosaic scheduler into a tailspin (compile
-            time minutes -> hours)."""
-            arow = pl.ds(g * rows_w + row, 1)
+        def _fold_changed(bits32):
+            r16 = bits32[0:16, :] | bits32[16:32, :]
+            r8 = r16[0:8, :] | r16[8:16, :]
+            r4 = r8[0:4, :] | r8[4:8, :]
+            r2 = r4[0:2, :] | r4[2:4, :]
+            return r2[0:1, :] | r2[1:2, :]
+
+        def block_rmw(row, placed32):
+            """Combine the subtile's (32,128) result into the
+            CONTIGUOUS 32-row acc block of destination word-row `row`
+            — one dynamic block read + comb + write (round 3 paid 32
+            chained single-row RMWs here, the sweep's dominant cost).
+            Also derives the changed-word row in one 5-step OR fold."""
+            arow = pl.ds(row * 32, 32)
             old = as_val(accv[arow, :])
-            new = comb(old, placed)
+            new = comb(old, placed32)
             accv[arow, :] = as_bits(new)
             if track_changed:
-                impacc = impacc | ((old > new).astype(jnp.int32) << g)
-            return impacc
-
-        def flush_changed(row, impacc):
-            if track_changed:
+                bits = (old > new).astype(jnp.int32) << g_iota32
                 crow = pl.ds(row, 1)
-                chout_ref[crow, :] = chout_ref[crow, :] | impacc
+                chout_ref[crow, :] = (chout_ref[crow, :]
+                                      | _fold_changed(bits))
+
+        def block_rmw_pair(pair, placed64):
+            """Row-PAIR RMW: the 64 acc rows of two adjacent word-rows
+            are contiguous, so a pk supercell covering 256 destination
+            words still costs one block read + comb + write."""
+            arow = pl.ds(pair * 64, 64)
+            old = as_val(accv[arow, :])
+            new = comb(old, placed64)
+            accv[arow, :] = as_bits(new)
+            if track_changed:
+                chg = (old > new).astype(jnp.int32)
+                ch2 = jnp.concatenate(
+                    [_fold_changed(chg[0:32, :] << g_iota32),
+                     _fold_changed(chg[32:64, :] << g_iota32)], axis=0)
+                crow = pl.ds(pair * 2, 2)
+                chout_ref[crow, :] = chout_ref[crow, :] | ch2
 
         def fold8(x):
             y = comb(x[0:4, :], x[4:8, :])
@@ -549,56 +610,74 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             q = meta >> 19
             row = (meta >> 7) & 0xFFF
             lane_o = meta & 127
+            # NO per-subtile conditional: measured on both kernels,
+            # per-subtile pl.when (even on a scalar SMEM flag) breaks
+            # Mosaic's software pipelining of the chunk loop and costs
+            # ~0.3 us per subtile.  Work skipping lives at the
+            # DMA-super-region loop granularity only.
             packed = buf[pl.ds(8 * k, 8), :]
             wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
             cand, shift = candidate(packed, wtile, q)
-            impacc = jnp.zeros((1, 128), jnp.int32)
+            groups = []
             for gb in range(4):
                 red = jnp.concatenate(
-                    [fold8(jnp.where(shift == gb * 8 + j, cand, IDENT))
-                     for j in range(8)], axis=0)          # (8,128)
+                    [fold8(jnp.where(shift == gb * 8 + j, cand,
+                                     IDENT))
+                     for j in range(8)], axis=0)      # (8,128)
                 for sh in (64, 32, 16, 8, 4, 2, 1):
                     red = comb(red, as_val(
                         pltpu.roll(as_bits(red), sh, axis=1)))
-                placed = jnp.where(lane_iota == lane_o, red, IDENT)
-                for j in range(8):
-                    impacc = rmw(gb * 8 + j, row, placed[j:j + 1, :],
-                                 impacc)
-            flush_changed(row, impacc)
+                groups.append(red)
+            red32 = jnp.concatenate(groups, axis=0)   # (32,128)
+            placed = jnp.where(lane_iota == lane_o, red32, IDENT)
+            block_rmw(row, placed)
 
-        # ---- packed subtile: one destination word-row ----
+        # ---- packed subtile: one destination row PAIR ----
         def pk_subtile(t, k, buf, ibuf, wbuf):
             meta = pmeta[t]
             q = meta >> 12
-            row = meta & 0xFFF
+            pair = meta & 0xFFF
+
+            # no per-subtile conditional (see hub_subtile note)
             packed = buf[pl.ds(8 * k, 8), :]
             wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
             cand, shift = candidate(packed, wtile, q)
-            raw = ibuf[pl.ds(2 * k, 2), :]      # byte-packed maps
-            idxg = jnp.broadcast_to(raw[0:1, :] & 0xFF, (8, 128))
-            idxls = [jnp.broadcast_to(
-                (raw[(j + 1) // 4:(j + 1) // 4 + 1, :]
-                 >> (8 * ((j + 1) % 4))) & 0xFF, (8, 128))
-                for j in range(NUM_LSEL)]
-            impacc = jnp.zeros((1, 128), jnp.int32)
+            raw = ibuf[pl.ds(4 * k, 4), :]      # byte-packed maps
+
+            def idx_map(j):
+                return jnp.broadcast_to(
+                    (raw[j // 4:j // 4 + 1, :]
+                     >> (8 * (j % 4))) & 0xFF, (8, 128))
+
+            idxg = [idx_map(0), idx_map(7)]
+            idxls = [[idx_map(1 + i) for i in range(NUM_LSEL)],
+                     [idx_map(8 + i) for i in range(NUM_LSEL)]]
+            halves = [[], []]
             for gb in range(4):
                 red = jnp.concatenate(
-                    [fold8(jnp.where(shift == gb * 8 + j, cand, IDENT))
-                     for j in range(8)], axis=0)          # (8,128)
+                    [fold8(jnp.where(shift == gb * 8 + j, cand,
+                                     IDENT))
+                     for j in range(8)], axis=0)      # (8,128)
                 redg = red
                 for sh in (1, 2, 4):
                     redg = comb(redg, as_val(
-                        pltpu.roll(as_bits(redg), 128 - sh, axis=1)))
-                placed = as_val(jnp.take_along_axis(as_bits(redg), idxg,
-                                                    axis=1))
+                        pltpu.roll(as_bits(redg), 128 - sh,
+                                   axis=1)))
+                rg_bits = as_bits(redg)
                 rbits = as_bits(red)
-                for idxl in idxls:
-                    placed = comb(placed, as_val(
-                        jnp.take_along_axis(rbits, idxl, axis=1)))
-                for j in range(8):
-                    impacc = rmw(gb * 8 + j, row, placed[j:j + 1, :],
-                                 impacc)
-            flush_changed(row, impacc)
+                # the fold/roll work is shared; only the placement
+                # gathers run once per row of the pair
+                for h in range(2):
+                    placed = as_val(jnp.take_along_axis(
+                        rg_bits, idxg[h], axis=1))
+                    for idxl in idxls[h]:
+                        placed = comb(placed, as_val(
+                            jnp.take_along_axis(rbits, idxl,
+                                                axis=1)))
+                    halves[h].append(placed)
+            placed64 = jnp.concatenate(halves[0] + halves[1],
+                                       axis=0)        # (64,128)
+            block_rmw_pair(pair, placed64)
 
         # ---- streaming loops (pallas_mega.py structure) ----
         def dma(arr, buf, bank, start, c, slot, rows_per=8):
@@ -646,7 +725,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                 @pl.when(i < nchunks)
                 def _():
                     dma(pk_hbm, pbuf, 1, start, i, i).start()
-                    dma(pkidx_hbm, pibuf, 2, start, i, i, rows_per=2).start()
+                    dma(pkidx_hbm, pibuf, 2, start, i, i, rows_per=4).start()
                     if has_w:
                         dma(pw_hbm, pwbuf, 4, start, i, i).start()
 
@@ -658,7 +737,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                 @pl.when(k == 0)
                 def _():
                     dma(pk_hbm, pbuf, 1, start, c, slot).wait()
-                    dma(pkidx_hbm, pibuf, 2, start, c, slot, rows_per=2).wait()
+                    dma(pkidx_hbm, pibuf, 2, start, c, slot, rows_per=4).wait()
                     if has_w:
                         dma(pw_hbm, pwbuf, 4, start, c, slot).wait()
 
@@ -673,7 +752,7 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                         dma(pk_hbm, pbuf, 1, start, c + SLOTS,
                             slot).start()
                         dma(pkidx_hbm, pibuf, 2, start, c + SLOTS,
-                            slot, rows_per=2).start()
+                            slot, rows_per=4).start()
                         if has_w:
                             dma(pw_hbm, pwbuf, 4, start, c + SLOTS,
                                 slot).start()
@@ -681,7 +760,14 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             jax.lax.fori_loop(0, nchunks * CHUNK, body, 0)
 
         def region(r, _):
-            reg_any = jnp.any(ch_ref[pl.ds(r * RPG, RPG), :] != 0)
+            # r indexes DMA super-regions (DMA_REGS word-rows each);
+            # the skip test is a scalar OR of the XLA-computed per-row
+            # activity flags (one branch per super-region is fine;
+            # per-subtile branches cost ~0.3 us each)
+            reg_any = ract[r * DMA_REGS]
+            for rr in range(1, DMA_REGS):
+                reg_any = reg_any | ract[r * DMA_REGS + rr]
+            reg_any = reg_any != 0
 
             @pl.when(reg_any)
             def _():
@@ -702,11 +788,12 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
 
 
 def value_vmem_bytes(n: int, has_w: bool) -> int:
-    num_regions = max(1, _cdiv(n + 1, REGION_V))
+    num_regions = _cdiv(max(1, _cdiv(n + 1, REGION_V)),
+                        DMA_REGS) * DMA_REGS
     rows_w = num_regions * (REGION_V // 32) // 128
     state = 2 * 32 * rows_w * 128 * 4          # vals + accv
     bufs = SLOTS * CHUNK * 8 * 128 * 4 * (2 + (2 if has_w else 0)) \
-        + SLOTS * CHUNK * 2 * 128 * 4
+        + SLOTS * CHUNK * 4 * 128 * 4
     ch = 2 * rows_w * 128 * 4
     return state + bufs + ch
 
@@ -716,6 +803,25 @@ def value_fits(plan: "ValuePlan") -> bool:
         return False
     # hub_meta + pk_meta are disjoint: one packed int32 per subtile
     return plan.num_subtiles * 4 <= SMEM_META_LIMIT
+
+
+def get_add_stepper(plan: "ValuePlan", interpret: bool = False
+                    ) -> "ValueStepper":
+    """f32 ADD stepper cached ON the plan: PR, HITS, SALSA and WTF all
+    use the identical config (add, f32, no active gating, zero acc, no
+    changed tracking), so they share one compiled kernel, one jit
+    cache, and the plan's device tile upload."""
+    cache = getattr(plan, "_add_steppers", None)
+    if cache is None:
+        cache = {}
+        plan._add_steppers = cache
+    st = cache.get(interpret)
+    if st is None:
+        st = ValueStepper(plan, mode="add", f32=True, use_active=False,
+                          zero_acc=True, track_changed=False,
+                          interpret=interpret)
+        cache[interpret] = st
+    return st
 
 
 class ValueStepper:
@@ -743,7 +849,7 @@ class ValueStepper:
         self.f32 = f32
         rows_w = plan.rows_w
         self.rows_w = rows_w
-        R = plan.num_regions
+        R = plan.num_regions // DMA_REGS    # DMA super-regions
         has_w = plan.has_weights
 
         # device arrays are cached ON the plan: several steppers
@@ -777,7 +883,7 @@ class ValueStepper:
             pltpu.VMEM((32 * rows_w, 128), jnp.int32),       # accv
             pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # hbuf
             pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),  # pbuf
-            pltpu.VMEM((SLOTS, CHUNK * 2, 128), jnp.int32),  # pibuf
+            pltpu.VMEM((SLOTS, CHUNK * 4, 128), jnp.int32),  # pibuf
         ]
         if has_w:
             scratch += [
@@ -795,7 +901,7 @@ class ValueStepper:
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=4,
+                num_scalar_prefetch=5,
                 grid=(1,),
                 in_specs=in_specs,
                 out_specs=[
@@ -812,7 +918,11 @@ class ValueStepper:
         )
 
         def step_with(scal, hbm, acc, ch):
-            return self.fn(*scal, *hbm, acc, ch)
+            # per-region activity flags for the kernel's scalar
+            # work-skip (any changed word in the region's row?) —
+            # computed here so every caller gets the skip for free
+            ract = jnp.any(ch != 0, axis=1).astype(jnp.int32)
+            return self.fn(*scal, ract, *hbm, acc, ch)
 
         self.step_with = step_with
         self._jit = jax.jit(step_with)

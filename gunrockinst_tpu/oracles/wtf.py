@@ -25,7 +25,11 @@ from gunrockinst_tpu.oracles.ranking import pagerank_reference
 
 def wtf_reference(csr: CsrGraph, src: int, alpha: float = 0.2,
                   delta: float = 0.85, threshold: float = 0.01,
-                  max_iter: int = 50, cot_size: int = 1000):
+                  max_iter: int = 50, cot_size: int = 1000,
+                  cot=None):
+    """Pass `cot` to pin the circle of trust (tie-robust testing: PPR
+    ties at the CoT boundary permute under different exact summation
+    orders, changing the downstream SALSA phase discontinuously)."""
     n = csr.num_nodes
     esrc = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr.row_offsets))
     edst = csr.col_indices.astype(np.int64)
@@ -34,7 +38,10 @@ def wtf_reference(csr: CsrGraph, src: int, alpha: float = 0.2,
     ppr = pagerank_reference(csr, delta=delta, threshold=threshold,
                              max_iter=max_iter, src=src).astype(np.float64)
     order = np.lexsort((np.arange(n), -ppr))
-    cot = order[: min(cot_size, n)]
+    if cot is None:
+        cot = order[: min(cot_size, n)]
+    else:
+        cot = np.asarray(cot, np.int64)
     in_cot = np.zeros(n, dtype=bool)
     in_cot[cot] = True
 

@@ -219,8 +219,10 @@ def get_pr_planes(csr, interpret=None):
             rank, active, it = c
             contrib = jnp.where(active > 0, rank / deg_bm, 0.0)
             acc_in = jax.lax.bitcast_convert_type(contrib, jnp.int32)
-            a_i = (active > 0).astype(jnp.int32).reshape(32, rows_w, 128)
-            words = jnp.sum(a_i << iota32[:, None, None], axis=0)
+            # word-row-major: rows r*32+g -> word bits pack over the
+            # 32-row minor group
+            a_i = (active > 0).astype(jnp.int32).reshape(rows_w, 32, 128)
+            words = jnp.sum(a_i << iota32[None, :, None], axis=1)
             acc_out, _ = stepper.step_with(scal, hbm, acc_in, words)
             sums = jax.lax.bitcast_convert_type(acc_out, jnp.float32)
             sums = jnp.where(live_bm > 0, sums, 0.0)

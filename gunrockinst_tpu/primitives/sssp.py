@@ -216,10 +216,10 @@ def get_sssp_planes(csr, interpret=None):
         return acc, it
 
     def fn(src):
-        # source staging: dist[src]=0.0 in bit-major
-        # (vertex v lives at row (v%32)*rows_w + (v//32)//128,
+        # source staging: dist[src]=0.0 in word-row-major layout
+        # (vertex v lives at row (v//4096)*32 + (v%32),
         #  lane (v//32)%128; 0.0f bits == 0)
-        acc0 = inf_acc.at[(src % 32) * rows_w + (src // 32) // 128,
+        acc0 = inf_acc.at[(src // 4096) * 32 + (src % 32),
                           (src // 32) % 128].set(0)
         chm = np.zeros(n, bool)
         chm[src] = True

@@ -59,6 +59,116 @@ def wtf_salsa_kernel(graph: DeviceGraph, in_cot, src, alpha,
     return rank, ref_curr
 
 
+import time as _time
+import weakref
+
+_planes_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_wtf_planes(csr, interpret=None):
+    """WTF over the value-plane ADD kernel: phase 1 rides the PR
+    planes driver (personalized), the CoT sort runs on the host, and
+    the phase-3/4 personalized-SALSA advances become one forward and
+    one reverse pull-ADD sweep per iteration (wtf_enactor.cuh:280-530)
+    — sharing the PR/HITS/SALSA plans, uploads and compiled kernel.
+    Returns fn(src, alpha, delta, threshold, max_iter, cot_size) ->
+    (rank, cot, ppr, device_ms)."""
+    import functools
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.ops.pallas_value import (
+        get_add_stepper, get_reverse_plan, get_unweighted_plan,
+        to_bitmajor_np, from_bitmajor_np)
+    from gunrockinst_tpu.primitives.pr import get_pr_planes
+
+    hit = _planes_cache.get(csr)
+    if hit is not None:
+        return hit
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = csr.num_nodes
+    plan_f = get_unweighted_plan(csr)
+    plan_r = get_reverse_plan(csr)
+    st_f = get_add_stepper(plan_f, interpret)
+    st_r = get_add_stepper(plan_r, interpret)
+    rows_w = plan_f.rows_w
+    pr_fn = get_pr_planes(csr, interpret=interpret)
+
+    outdeg = np.diff(csr.row_offsets).astype(np.int64)
+
+    def stage_f32(v):
+        return jax.lax.bitcast_convert_type(
+            jnp.asarray(to_bitmajor_np(v.astype(np.float32), rows_w)),
+            jnp.float32)
+
+    inv_so = stage_f32(1.0 / np.maximum(outdeg, 1))
+    has_out = (outdeg > 0).astype(np.float32)
+    ones_words = jnp.full((rows_w, 128), -1, jnp.int32)
+
+    def as_bits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def as_f32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    @functools.partial(jax.jit, static_argnames=("salsa_iters",))
+    def salsa_loop(sf, hf, sr, hr, cot_bm, pers_term,
+                   alpha, salsa_iters: int):
+        def sweep_f(v):
+            return as_f32(st_f.step_with(sf, hf, as_bits(v),
+                                         ones_words)[0])
+
+        def sweep_r(v):
+            return as_f32(st_r.step_with(sr, hr, as_bits(v),
+                                         ones_words)[0])
+
+        cot_indeg = sweep_f(cot_bm)
+        inv_si = 1.0 / jnp.maximum(cot_indeg, 1.0)
+
+        def body(_, carry):
+            rank_curr, ref_curr, ref_next = carry
+            rank_next = cot_bm * (
+                pers_term
+                + (1.0 - alpha) * sweep_r(ref_curr * inv_si))
+            ref_curr2 = ref_next
+            ref_next2 = sweep_f(cot_bm * rank_curr * inv_so)
+            return rank_next, ref_curr2, ref_next2
+
+        z = jnp.zeros((32 * rows_w, 128), jnp.float32)
+        rank, _, _ = jax.lax.fori_loop(0, salsa_iters, body, (z, z, z))
+        return rank
+
+    def fn(src, alpha=0.2, delta=0.85, threshold=0.01, max_iter=50,
+           cot_size=1000):
+        salsa_iters = int(1.0 / alpha)
+        cot_size = min(cot_size, n)
+        t0 = _time.perf_counter()
+        ppr, _, _ = pr_fn(delta, threshold, src, max_iter)
+        order = np.lexsort((np.arange(n), -ppr))
+        cot = order[:cot_size].astype(np.int32)
+        in_cot = np.zeros(n, np.float32)
+        in_cot[cot] = 1.0
+        cot_bm = stage_f32(in_cot)
+        # sum over u's out-edges of [u==src]*alpha/so[u] ==
+        # [u==src]*alpha*(outdeg>0) — the personalization term factors
+        # out of the sweep exactly (hits planes does the same)
+        pt = np.zeros(n, np.float32)
+        if 0 <= src < n:
+            pt[src] = alpha * has_out[src]
+        pers_term = stage_f32(pt)
+        rank_bm = salsa_loop(st_f.scal_args, st_f.hbm_args,
+                             st_r.scal_args, st_r.hbm_args, cot_bm,
+                             pers_term, jnp.float32(alpha),
+                             salsa_iters)
+        float(rank_bm[0, 0])   # scalar fetch forces the loop (axon)
+        device_ms = (_time.perf_counter() - t0) * 1e3
+        rank = from_bitmajor_np(np.asarray(as_bits(rank_bm)), n,
+                                np.float32)
+        return rank, cot, ppr, device_ms
+
+    _planes_cache[csr] = fn
+    return fn
+
+
 @dataclasses.dataclass
 class WtfResult:
     wtf_ranks: np.ndarray     # final who-to-follow scores
@@ -69,7 +179,24 @@ class WtfResult:
 
 def run(graph: GraphLike, src: int, alpha: float = 0.2,
         delta: float = 0.85, threshold: float = 0.01,
-        max_iter: int = 50, cot_size: int = 1000) -> WtfResult:
+        max_iter: int = 50, cot_size: int = 1000,
+        mode: str = "xla") -> WtfResult:
+    if mode == "planes":
+        from gunrockinst_tpu.graph.csr import CsrGraph
+        if not isinstance(graph, CsrGraph):
+            raise TypeError("mode='planes' needs a host CsrGraph")
+        if not (0 <= src < graph.num_nodes):
+            raise ValueError(f"source vertex {src} out of range")
+        fn = get_wtf_planes(graph)
+        fn(src, alpha, delta, threshold, max_iter, cot_size)  # warm-up
+        rank, cot, ppr, device_ms = fn(src, alpha, delta, threshold,
+                                       max_iter, cot_size)
+        salsa_iters = int(1.0 / alpha)
+        stats = Stats(elapsed_ms=device_ms, search_depth=salsa_iters,
+                      nodes_visited=graph.num_nodes,
+                      edges_visited=graph.num_edges * salsa_iters)
+        return WtfResult(wtf_ranks=rank, cot=cot, ppr_ranks=ppr,
+                         stats=stats)
     g = device_graph(graph)
     if not (0 <= src < g.n):
         raise ValueError(f"source vertex {src} out of range [0, {g.n})")

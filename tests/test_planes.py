@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from gunrockinst_tpu.graph.coo import CooGraph
 from gunrockinst_tpu.graph.csr import CsrGraph
+from gunrockinst_tpu.graph.rmat import rmat_graph
 from gunrockinst_tpu.ops.pallas_value import (
     ValueStepper, build_value_plan, to_bitmajor_np, from_bitmajor_np,
     words_from_mask, mask_from_words)
@@ -172,3 +173,54 @@ def test_pr_planes_personalized(small_random):
     res = pr.run(small_random, src=3, mode="planes")
     np.testing.assert_allclose(res.ranks, ref.ranks, rtol=1e-4,
                                atol=1e-5)
+
+
+def test_hits_planes_matches_oracle():
+    from gunrockinst_tpu.oracles import hits_reference
+    from gunrockinst_tpu.primitives import hits
+    for und, seed in ((True, 5), (False, 9)):
+        csr = rmat_graph(8, 8, undirected=und, seed=seed)
+        ref_hub, ref_auth = hits_reference(csr, 2, max_iter=10)
+        res = hits.run(csr, src=2, max_iter=10, mode="planes")
+        np.testing.assert_allclose(res.hub_ranks, ref_hub,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(res.auth_ranks, ref_auth,
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_salsa_planes_matches_oracle():
+    from gunrockinst_tpu.oracles import salsa_reference
+    from gunrockinst_tpu.primitives import salsa
+    for und, seed in ((True, 5), (False, 9)):
+        csr = rmat_graph(8, 8, undirected=und, seed=seed)
+        ref_hub, ref_auth = salsa_reference(csr, max_iter=8)
+        res = salsa.run(csr, max_iter=8, mode="planes")
+        np.testing.assert_allclose(res.hub_ranks, ref_hub,
+                                   rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(res.auth_ranks, ref_auth,
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_wtf_planes_matches_oracle():
+    from gunrockinst_tpu.oracles.wtf import wtf_reference
+    from gunrockinst_tpu.primitives import wtf
+    for und, seed in ((True, 5), (False, 9)):
+        csr = rmat_graph(8, 8, undirected=und, seed=seed)
+        src = 2
+        ref_rank, ref_cot, ref_ppr = wtf_reference(csr, src, alpha=0.2,
+                                                   cot_size=50)
+        res = wtf.run(csr, src=src, alpha=0.2, cot_size=50,
+                      mode="planes")
+        np.testing.assert_allclose(res.ppr_ranks, ref_ppr,
+                                   rtol=1e-3, atol=1e-6)
+        # PPR ties permute the CoT order; require score-equivalence
+        # per position (the reference's own rank comparisons are
+        # tolerance-based for the same reason)
+        np.testing.assert_allclose(ref_ppr[res.cot], ref_ppr[ref_cot],
+                                   rtol=1e-3, atol=1e-6)
+        # phase 3/4 checked exactly against the oracle PINNED to the
+        # same circle of trust
+        ref_rank2, _, _ = wtf_reference(csr, src, alpha=0.2,
+                                        cot_size=50, cot=res.cot)
+        np.testing.assert_allclose(res.wtf_ranks, ref_rank2,
+                                   rtol=1e-3, atol=1e-6)
