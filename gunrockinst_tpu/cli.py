@@ -226,7 +226,16 @@ def main(argv=None) -> int:
     elif prim == "hits":
         from gunrockinst_tpu.primitives import hits as m
         src = resolve_source(args.src, csr)
-        res = m.run(csr, src=src, delta=args.delta, max_iter=args.max_iter)
+        h_mode = "xla"
+        if args.traversal_mode == "planes":
+            try:
+                m.get_hits_planes(csr)
+                h_mode = "planes"
+            except Exception as e:
+                print(f"hits planes mode unavailable ({e}); "
+                      "falling back to xla")
+        res = m.run(csr, src=src, delta=args.delta,
+                    max_iter=args.max_iter, mode=h_mode)
         res.stats.display(prim)
         order = np.argsort(-res.hub_ranks)[: args.top_nodes]
         _display("hub", order, res.hub_ranks[order])
@@ -239,7 +248,15 @@ def main(argv=None) -> int:
 
     elif prim == "salsa":
         from gunrockinst_tpu.primitives import salsa as m
-        res = m.run(csr, max_iter=args.max_iter)
+        sa_mode = "xla"
+        if args.traversal_mode == "planes":
+            try:
+                m.get_salsa_planes(csr)
+                sa_mode = "planes"
+            except Exception as e:
+                print(f"salsa planes mode unavailable ({e}); "
+                      "falling back to xla")
+        res = m.run(csr, max_iter=args.max_iter, mode=sa_mode)
         res.stats.display(prim)
         order = np.argsort(-res.auth_ranks)[: args.top_nodes]
         _display("auth", order, res.auth_ranks[order])
@@ -252,8 +269,17 @@ def main(argv=None) -> int:
     elif prim == "wtf":
         from gunrockinst_tpu.primitives import wtf as m
         src = resolve_source(args.src, csr)
+        w_mode = "xla"
+        if args.traversal_mode == "planes":
+            try:
+                m.get_wtf_planes(csr)
+                w_mode = "planes"
+            except Exception as e:
+                print(f"wtf planes mode unavailable ({e}); "
+                      "falling back to xla")
         res = m.run(csr, src=src, alpha=args.salsa_alpha, delta=args.delta,
-                    threshold=args.error, max_iter=args.max_iter)
+                    threshold=args.error, max_iter=args.max_iter,
+                    mode=w_mode)
         res.stats.display(prim)
         order = np.argsort(-res.wtf_ranks)[: args.top_nodes]
         _display(prim, order, res.wtf_ranks[order])

@@ -488,6 +488,11 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
     else:
         IDENT = np.float32(0.0) if f32 else np.int32(0)
 
+    # min modes carry shrinking changed sets -> per-subtile skip pays;
+    # add mode stays branchless (see the measured tradeoff in
+    # hub_subtile)
+    subtile_skip = is_min
+
     def comb(a, b):
         return jnp.minimum(a, b) if is_min else a + b
 
@@ -610,27 +615,35 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             q = meta >> 19
             row = (meta >> 7) & 0xFFF
             lane_o = meta & 127
-            # NO per-subtile conditional: measured on both kernels,
-            # per-subtile pl.when (even on a scalar SMEM flag) breaks
-            # Mosaic's software pipelining of the chunk loop and costs
-            # ~0.3 us per subtile.  Work skipping lives at the
-            # DMA-super-region loop granularity only.
-            packed = buf[pl.ds(8 * k, 8), :]
-            wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
-            cand, shift = candidate(packed, wtile, q)
-            groups = []
-            for gb in range(4):
-                red = jnp.concatenate(
-                    [fold8(jnp.where(shift == gb * 8 + j, cand,
-                                     IDENT))
-                     for j in range(8)], axis=0)      # (8,128)
-                for sh in (64, 32, 16, 8, 4, 2, 1):
-                    red = comb(red, as_val(
-                        pltpu.roll(as_bits(red), sh, axis=1)))
-                groups.append(red)
-            red32 = jnp.concatenate(groups, axis=0)   # (32,128)
-            placed = jnp.where(lane_iota == lane_o, red32, IDENT)
-            block_rmw(row, placed)
+            # Per-subtile work-skip policy, MEASURED both ways at
+            # rmat-s20: a scalar-SMEM-flag pl.when costs ~40 us/sweep
+            # in lost pipelining but skips whole subtiles on sparse
+            # rounds.  MIN modes (SSSP/CC: shrinking changed sets)
+            # net-win with the skip (222 vs 243 ms, 247 vs 264 ms);
+            # ADD mode (PR: everything active until convergence)
+            # net-wins branchless (45.5 vs 48.7 ms/iter).
+            def hub_body():
+                packed = buf[pl.ds(8 * k, 8), :]
+                wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
+                cand, shift = candidate(packed, wtile, q)
+                groups = []
+                for gb in range(4):
+                    red = jnp.concatenate(
+                        [fold8(jnp.where(shift == gb * 8 + j, cand,
+                                         IDENT))
+                         for j in range(8)], axis=0)      # (8,128)
+                    for sh in (64, 32, 16, 8, 4, 2, 1):
+                        red = comb(red, as_val(
+                            pltpu.roll(as_bits(red), sh, axis=1)))
+                    groups.append(red)
+                red32 = jnp.concatenate(groups, axis=0)   # (32,128)
+                placed = jnp.where(lane_iota == lane_o, red32, IDENT)
+                block_rmw(row, placed)
+
+            if subtile_skip:
+                pl.when(ract[q] != 0)(hub_body)
+            else:
+                hub_body()
 
         # ---- packed subtile: one destination row PAIR ----
         def pk_subtile(t, k, buf, ibuf, wbuf):
@@ -638,46 +651,51 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             q = meta >> 12
             pair = meta & 0xFFF
 
-            # no per-subtile conditional (see hub_subtile note)
-            packed = buf[pl.ds(8 * k, 8), :]
-            wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
-            cand, shift = candidate(packed, wtile, q)
-            raw = ibuf[pl.ds(4 * k, 4), :]      # byte-packed maps
+            def pk_body():
+                packed = buf[pl.ds(8 * k, 8), :]
+                wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
+                cand, shift = candidate(packed, wtile, q)
+                raw = ibuf[pl.ds(4 * k, 4), :]      # byte-packed maps
 
-            def idx_map(j):
-                return jnp.broadcast_to(
-                    (raw[j // 4:j // 4 + 1, :]
-                     >> (8 * (j % 4))) & 0xFF, (8, 128))
+                def idx_map(j):
+                    return jnp.broadcast_to(
+                        (raw[j // 4:j // 4 + 1, :]
+                         >> (8 * (j % 4))) & 0xFF, (8, 128))
 
-            idxg = [idx_map(0), idx_map(7)]
-            idxls = [[idx_map(1 + i) for i in range(NUM_LSEL)],
-                     [idx_map(8 + i) for i in range(NUM_LSEL)]]
-            halves = [[], []]
-            for gb in range(4):
-                red = jnp.concatenate(
-                    [fold8(jnp.where(shift == gb * 8 + j, cand,
-                                     IDENT))
-                     for j in range(8)], axis=0)      # (8,128)
-                redg = red
-                for sh in (1, 2, 4):
-                    redg = comb(redg, as_val(
-                        pltpu.roll(as_bits(redg), 128 - sh,
-                                   axis=1)))
-                rg_bits = as_bits(redg)
-                rbits = as_bits(red)
-                # the fold/roll work is shared; only the placement
-                # gathers run once per row of the pair
-                for h in range(2):
-                    placed = as_val(jnp.take_along_axis(
-                        rg_bits, idxg[h], axis=1))
-                    for idxl in idxls[h]:
-                        placed = comb(placed, as_val(
-                            jnp.take_along_axis(rbits, idxl,
-                                                axis=1)))
-                    halves[h].append(placed)
-            placed64 = jnp.concatenate(halves[0] + halves[1],
-                                       axis=0)        # (64,128)
-            block_rmw_pair(pair, placed64)
+                idxg = [idx_map(0), idx_map(7)]
+                idxls = [[idx_map(1 + i) for i in range(NUM_LSEL)],
+                         [idx_map(8 + i) for i in range(NUM_LSEL)]]
+                halves = [[], []]
+                for gb in range(4):
+                    red = jnp.concatenate(
+                        [fold8(jnp.where(shift == gb * 8 + j, cand,
+                                         IDENT))
+                         for j in range(8)], axis=0)      # (8,128)
+                    redg = red
+                    for sh in (1, 2, 4):
+                        redg = comb(redg, as_val(
+                            pltpu.roll(as_bits(redg), 128 - sh,
+                                       axis=1)))
+                    rg_bits = as_bits(redg)
+                    rbits = as_bits(red)
+                    # the fold/roll work is shared; only the placement
+                    # gathers run once per row of the pair
+                    for h in range(2):
+                        placed = as_val(jnp.take_along_axis(
+                            rg_bits, idxg[h], axis=1))
+                        for idxl in idxls[h]:
+                            placed = comb(placed, as_val(
+                                jnp.take_along_axis(rbits, idxl,
+                                                    axis=1)))
+                        halves[h].append(placed)
+                placed64 = jnp.concatenate(halves[0] + halves[1],
+                                           axis=0)        # (64,128)
+                block_rmw_pair(pair, placed64)
+
+            if subtile_skip:
+                pl.when(ract[q] != 0)(pk_body)
+            else:
+                pk_body()
 
         # ---- streaming loops (pallas_mega.py structure) ----
         def dma(arr, buf, bank, start, c, slot, rows_per=8):
