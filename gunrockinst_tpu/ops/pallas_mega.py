@@ -63,6 +63,9 @@ def _cdiv(a, b):
 
 # v5e has ~16 MiB VMEM/core; leave headroom for Mosaic's own needs.
 VMEM_LIMIT_BYTES = 14 * 1024 * 1024
+# scalar-prefetch (SMEM) budget: the TPU compile server crashes past
+# ~1 MB of prefetch operands; stay under with margin
+SMEM_META_LIMIT = 900 * 1024
 
 
 @dataclasses.dataclass
@@ -179,7 +182,7 @@ def _gather_active(src, row_base, fr_ref, rpr: int, dummy: int):
     return (g >> (src & 31)) & 1
 
 
-def _hub_group(base, buf_ref, kbase, hrb, hor, hol, fr_ref, nx_ref,
+def _hub_group(base, buf_ref, kbase, hmeta, fr_ref, nx_ref,
                lane_iota, rpr, dummy):
     """UNROLL consecutive hub subtiles with the cross-lane OR tree
     BATCHED: the per-subtile (1,128) sublane-reduced rows stack into
@@ -200,8 +203,8 @@ def _hub_group(base, buf_ref, kbase, hrb, hor, hol, fr_ref, nx_ref,
         packed = buf_ref[pl.ds(8 * k, 8), :]
         src = packed & SRC_MASK
         shift = packed >> SHIFT_BITS
-        active = _gather_active(src, hrb[base + u], fr_ref, rpr,
-                                dummy)
+        active = _gather_active(src, hmeta[base + u] >> 19, fr_ref,
+                                rpr, dummy)
         bitval = active << shift
         v = bitval[0:4, :] | bitval[4:8, :]
         v = v[0:2, :] | v[2:4, :]
@@ -210,13 +213,13 @@ def _hub_group(base, buf_ref, kbase, hrb, hor, hol, fr_ref, nx_ref,
     for sh in (64, 32, 16, 8, 4, 2, 1):
         vg = vg | pltpu.roll(vg, sh, axis=1)  # all-lane OR
     for u in range(UNROLL):
-        t = base + u
-        placed = jnp.where(lane_iota == hol[t], vg[u:u + 1, :], 0)
-        r = hor[t]
+        mt = hmeta[base + u]
+        placed = jnp.where(lane_iota == (mt & 127), vg[u:u + 1, :], 0)
+        r = (mt >> 7) & 0xFFF
         nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
 
-def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
+def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, pmeta, fr_ref, nx_ref,
                    mle, sub_iota, shifts, dead, rpr, dummy):
     """k = chunk-local subtile index; v3 placement (suffix-OR runs +
     per-lane singles, pallas_advance_v3._v3_subtile).
@@ -226,10 +229,11 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
     measured at 147-209 ms/search vs 17 ms without — per-subtile
     control flow breaks Mosaic's software pipelining of the unrolled
     chunk loop.  Work skipping stays at the region-loop granularity."""
+    mt = pmeta[t]
     packed = buf_ref[pl.ds(8 * k, 8), :]
     src = packed & SRC_MASK
     shift = packed >> SHIFT_BITS
-    active = _gather_active(src, prb[t], fr_ref, rpr, dummy)
+    active = _gather_active(src, mt >> 12, fr_ref, rpr, dummy)
     bitval = active << shift
     red8 = bitval[0:4, :] | bitval[4:8, :]
     red8 = red8[0:2, :] | red8[2:4, :]
@@ -244,7 +248,7 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, prb, por, fr_ref, nx_ref,
     idx = ((vb >> shifts) & 127) | dead
     res = jnp.take_along_axis(op, idx, axis=1)
     placed = res[0:1, :] | res[1:2, :] | res[4:5, :]
-    r = por[t]
+    r = mt & 0xFFF
     nx_ref[pl.ds(r, 1), :] = nx_ref[pl.ds(r, 1), :] | placed
 
 
@@ -266,8 +270,7 @@ def _make_step_kernel(R: int, rows: int, planes: int,
     CHUNK, SLOTS, UNROLL = chunk, slots, unroll   # shadow defaults
     GROUPS = CHUNK // UNROLL
 
-    def kernel(dscal, hrb, hor, hol, hrs, prb, por, prs,
-               ract,                                      # scalars
+    def kernel(dscal, hmeta, hrs, pmeta, prs, ract,    # scalars
                hub_hbm, pk_hbm, pkidx_hbm,                # HBM tiles
                fr_ref, vw_ref, pl_ref,                    # VMEM inputs
                nfw_ref, vwo_ref, plo_ref,                 # VMEM outputs
@@ -309,7 +312,7 @@ def _make_step_kernel(R: int, rows: int, planes: int,
 
                 base = start + c * CHUNK + g * UNROLL
                 _hub_group(base, hbuf.at[slot], g * UNROLL,
-                           hrb, hor, hol, fr_ref, out_ref, lane_iota,
+                           hmeta, fr_ref, out_ref, lane_iota,
                            rpr, dummy)
 
                 @pl.when(g == GROUPS - 1)
@@ -341,7 +344,7 @@ def _make_step_kernel(R: int, rows: int, planes: int,
                 for u in range(UNROLL):
                     _pk_subtile_v3(base + u, pbuf.at[slot],
                                    pibuf.at[slot], g * UNROLL + u,
-                                   prb, por, fr_ref, out_ref,
+                                   pmeta, fr_ref, out_ref,
                                    mle, sub_iota, shifts, dead,
                                    rpr, dummy)
 
@@ -430,13 +433,38 @@ class MegaStepper:
         self.rows = rows
         self.n_words = plan.n_words
 
+        # per-subtile meta PACKED one int32 each (row_base<<19 |
+        # out_row<<7 | lane for hubs; row_base<<12 | out_row for pk):
+        # 5 arrays -> 2, which is what lets rmat-s22 (~190K subtiles)
+        # fit the SMEM scalar-prefetch budget (the unpacked layout
+        # crashed the TPU compiler server at ~1.7 MB).  12-bit rows
+        # bound the packing at ~rmat-s23, the same place the VMEM word
+        # maps run out.
+        rows_max = max(int(plan.hub_out_row.max(initial=0)),
+                       int(plan.pk_out_row.max(initial=0)),
+                       int(plan.hub_row_base.max(initial=0)),
+                       int(plan.pk_row_base.max(initial=0)))
+        if rows_max > 0xFFF:
+            raise ValueError(
+                f"packed meta overflow: word-row index {rows_max} "
+                "exceeds 12 bits (graph too large for the mega step "
+                "kernel; use the v3 sweeper)")
+        hmeta = ((plan.hub_row_base.astype(np.int64) << 19)
+                 | (plan.hub_out_row.astype(np.int64) << 7)
+                 | plan.hub_out_lane.astype(np.int64)).astype(np.int32)
+        pmeta = ((plan.pk_row_base.astype(np.int64) << 12)
+                 | plan.pk_out_row.astype(np.int64)).astype(np.int32)
+        meta_bytes = 4 * (hmeta.shape[0] + pmeta.shape[0]
+                          + plan.hub_rs.shape[0] + plan.pk_rs.shape[0]
+                          + rows + 1)
+        if not interpret and meta_bytes > SMEM_META_LIMIT:
+            raise ValueError(
+                f"step kernel scalar metadata {meta_bytes} B exceeds "
+                f"the {SMEM_META_LIMIT} B SMEM budget for n={plan.n}")
         self.hub_args = (
-            jax.device_put(plan.hub_row_base),
-            jax.device_put(plan.hub_out_row),
-            jax.device_put(plan.hub_out_lane),
+            jax.device_put(hmeta),
             jax.device_put(plan.hub_rs),
-            jax.device_put(plan.pk_row_base),
-            jax.device_put(plan.pk_out_row),
+            jax.device_put(pmeta),
             jax.device_put(plan.pk_rs),
         )
         self.pk_args = (
@@ -451,7 +479,7 @@ class MegaStepper:
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=9,
+                num_scalar_prefetch=6,
                 grid=(1,),
                 in_specs=[
                     pl.BlockSpec(memory_space=pltpu.ANY),
