@@ -65,7 +65,7 @@ def _cdiv(a, b):
 VMEM_LIMIT_BYTES = 14 * 1024 * 1024
 # scalar-prefetch (SMEM) budget: the TPU compile server crashes past
 # ~1 MB of prefetch operands; stay under with margin
-SMEM_META_LIMIT = 900 * 1024
+SMEM_META_LIMIT = 960 * 1024
 
 
 @dataclasses.dataclass
@@ -86,6 +86,9 @@ class MegaPlan:
     pk_idx: np.ndarray          # (Tp+pad, 128) int32 g0|g1<<8|l<<16
     pk_rs: np.ndarray
     rows_per_reg: int = ROWS_PER_REGION
+    # first frontier row covered by this (possibly split) plan's
+    # region 0 — nonzero only for split_mega_plan sub-plans
+    region_row_off: int = 0
 
 
 def build_mega_plan(adj_row_offsets: np.ndarray,
@@ -156,6 +159,50 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
         pk_rs=pk_rs,
         rows_per_reg=rpr,
     )
+
+
+def split_mega_plan(plan: MegaPlan, parts: int = 2):
+    """Slice a mega plan into `parts` consecutive SOURCE-super-region
+    sub-plans so each sub-plan's packed scalar metadata fits the 1 MB
+    SMEM budget (rmat-s22 needs 1.12 MB in one piece — measured
+    compiler OOM).  Pull-OR is monotone and the level epilogue per
+    part uses only that part's touched bits, so running the parts
+    SEQUENTIALLY inside one level (chaining visited/planes, OR-ing the
+    next-frontier outputs) is exact: part 2's `new = touched & ~vw1`
+    cannot re-claim part 1's claims, and both carry the same depth."""
+    R = plan.num_regions
+    pad = 256
+    out = []
+    bounds = [round(p * R / parts) for p in range(parts + 1)]
+    for p in range(parts):
+        lo, hi = bounds[p], bounds[p + 1]
+        hlo, hhi = int(plan.hub_rs[lo]), int(plan.hub_rs[hi])
+        plo, phi = int(plan.pk_rs[lo]), int(plan.pk_rs[hi])
+
+        def slc(a, lo_, hi_, rows_per=1):
+            body = a[lo_ * rows_per: hi_ * rows_per]
+            tail = a[-pad * rows_per:]
+            return np.concatenate([body, tail])
+
+        out.append(MegaPlan(
+            n=plan.n, m=plan.m, n_words=plan.n_words,
+            num_regions=hi - lo, planes=plan.planes,
+            hub_tiles=slc(plan.hub_tiles, hlo, hhi, 8),
+            hub_row_base=slc(plan.hub_row_base, hlo, hhi),
+            hub_out_row=slc(plan.hub_out_row, hlo, hhi),
+            hub_out_lane=slc(plan.hub_out_lane, hlo, hhi),
+            hub_rs=(plan.hub_rs[lo: hi + 1]
+                    - plan.hub_rs[lo]).astype(np.int32),
+            pk_tiles=slc(plan.pk_tiles, plo, phi, 8),
+            pk_row_base=slc(plan.pk_row_base, plo, phi),
+            pk_out_row=slc(plan.pk_out_row, plo, phi),
+            pk_idx=slc(plan.pk_idx, plo, phi),
+            pk_rs=(plan.pk_rs[lo: hi + 1]
+                   - plan.pk_rs[lo]).astype(np.int32),
+            rows_per_reg=plan.rows_per_reg,
+            region_row_off=lo * ROWS_PER_REGION,
+        ))
+    return out
 
 
 def _gather_active(src, row_base, fr_ref, rpr: int, dummy: int):
@@ -255,7 +302,8 @@ def _pk_subtile_v3(t, buf_ref, pibuf_ref, k, pmeta, fr_ref, nx_ref,
 def _make_step_kernel(R: int, rows: int, planes: int,
                       chunk: int = CHUNK, slots: int = SLOTS,
                       unroll: int = UNROLL,
-                      rpr: int = ROWS_PER_REGION, dummy: int = 0):
+                      rpr: int = ROWS_PER_REGION, dummy: int = 0,
+                      reg_row_off: int = 0):
     """One full BFS LEVEL per pallas call: pull sweep + visited cull +
     bit-plane label update, all in VMEM.  The level loop lives in XLA
     (bfs_pallas.get_fused_bfs jits a lax.while_loop of steps) but the
@@ -364,9 +412,10 @@ def _make_step_kernel(R: int, rows: int, planes: int,
             # the test is a scalar OR of the XLA-computed per-row
             # activity flags — one branch per REGION is fine, one per
             # subtile is not (see _pk_subtile_v3)
-            reg_any = ract[r * ROWS_PER_REGION]
+            base_row = reg_row_off + r * ROWS_PER_REGION
+            reg_any = ract[base_row]
             for rr in range(1, ROWS_PER_REGION):
-                reg_any = reg_any | ract[r * ROWS_PER_REGION + rr]
+                reg_any = reg_any | ract[base_row + rr]
             reg_any = reg_any != 0
 
             @pl.when(reg_any)
@@ -475,7 +524,8 @@ class MegaStepper:
 
         kernel = _make_step_kernel(R, rows, planes, chunk=chunk,
                                    slots=slots, unroll=unroll,
-                                   rpr=plan.rows_per_reg, dummy=plan.n)
+                                   rpr=plan.rows_per_reg, dummy=plan.n,
+                                   reg_row_off=plan.region_row_off)
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(

@@ -112,6 +112,36 @@ def _post_preds(labels, esrc, edst, n_pad: int):
 _fused_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def _make_steppers(plan, planes: int, interp: bool):
+    """One MegaStepper, or several over source-split sub-plans when the
+    packed scalar metadata exceeds the 1 MB SMEM budget (rmat-s22+).
+    See ops/pallas_mega.split_mega_plan for the exactness argument."""
+    from gunrockinst_tpu.ops.pallas_mega import (MegaStepper,
+                                                 split_mega_plan)
+    try:
+        return [MegaStepper(plan, planes=planes, interpret=interp)]
+    except ValueError:
+        last = None
+        for parts in (2, 3, 4):
+            try:
+                return [MegaStepper(sp, planes=planes, interpret=interp)
+                        for sp in split_mega_plan(plan, parts)]
+            except ValueError as e:
+                last = e
+        raise last
+
+
+def _chain_steps(steppers, scals, hbms, fw, vw, planes, d):
+    """Run one BFS level across the (1 or more) plan parts: visited
+    and label planes chain through; next-frontier words OR."""
+    import jax.numpy as jnp
+    nfw_acc = None
+    for st, sc, hb in zip(steppers, scals, hbms):
+        nfw, vw, planes = st.step_with(sc, hb, fw, vw, planes, d)
+        nfw_acc = nfw if nfw_acc is None else (nfw_acc | nfw)
+    return nfw_acc, vw, planes
+
+
 def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
     """Whole-search BFS as ONE jitted program: `lax.while_loop` of
     Pallas pull sweeps over word-space frontier/visited/label-plane
@@ -157,10 +187,10 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
         impls = {}
 
         def make_impl(P):
-            stepper = MegaStepper(plan, planes=P, interpret=interp)
+            steppers = _make_steppers(plan, P, interp)
 
             @jax.jit
-            def impl(src, scal, hbm):
+            def impl(src, scals, hbms):
                 f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
                 fw0 = pack_bitmap(f0, n_words)
                 planes0 = jnp.zeros((P * rows, 128), jnp.int32)
@@ -172,16 +202,16 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                 def body(c):
                     planes, fw, vw, depth, _ = c
                     d = depth + 1
-                    nfw, vw2, planes2 = stepper.step_with(
-                        scal, hbm, fw, vw, planes, d)
-                    return planes2, nfw, vw2, d, jnp.any(nfw != 0)
+                    nfw, vw, planes = _chain_steps(
+                        steppers, scals, hbms, fw, vw, planes, d)
+                    return planes, nfw, vw, d, jnp.any(nfw != 0)
 
                 planes, fw, vw, depth, _ = jax.lax.while_loop(
                     cond, body,
                     (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
                 return planes, vw, depth
 
-            return impl, stepper
+            return impl, steppers
 
         def run_impl(src):
             # depth cap 2^P - 1: the 8-plane step covers depth <= 255
@@ -191,9 +221,10 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                       if PLANES_FULL > 8 else (PLANES_FULL,)):
                 if P not in impls:
                     impls[P] = make_impl(P)
-                impl, stepper = impls[P]
-                planes, vw, depth = impl(src, stepper.hub_args,
-                                         stepper.pk_args)
+                impl, steppers = impls[P]
+                planes, vw, depth = impl(
+                    src, tuple(st.hub_args for st in steppers),
+                    tuple(st.pk_args for st in steppers))
                 if int(depth) < (1 << P):
                     return planes, vw, int(depth), P
             return planes, vw, int(depth), P
@@ -304,11 +335,11 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
     csc_g = csr.transposed()
     plan = build_mega_plan(csc_g.row_offsets, csc_g.col_indices, n)
     rows = plan.n_words // 128
-    stepper = MegaStepper(plan, planes=planes, interpret=interp)
+    steppers = _make_steppers(plan, planes, interp)
     n_words = plan.n_words
 
     @jax.jit
-    def multi(scal, hbm, srcs):
+    def multi(scals, hbms, srcs):
         def one(carry, s):
             f0 = jnp.zeros((n_pad,), jnp.bool_).at[s].set(True)
             fw0 = pack_bitmap(f0, n_words)
@@ -321,8 +352,8 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
             def body(c):
                 pl_, fw_, vw_, dep, _ = c
                 dd = dep + 1
-                nfw, vw2, pl2 = stepper.step_with(scal, hbm, fw_, vw_,
-                                                  pl_, dd)
+                nfw, vw2, pl2 = _chain_steps(steppers, scals, hbms,
+                                             fw_, vw_, pl_, dd)
                 return pl2, nfw, vw2, dd, jnp.any(nfw != 0)
 
             pl_, fw_, vw_, dep, _ = jax.lax.while_loop(
@@ -336,7 +367,9 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
     def fn(srcs):
         srcs = jnp.asarray(np.asarray(srcs, np.int32))
         t0 = _time.perf_counter()
-        tot, deps, vws = multi(stepper.hub_args, stepper.pk_args, srcs)
+        tot, deps, vws = multi(
+            tuple(st.hub_args for st in steppers),
+            tuple(st.pk_args for st in steppers), srcs)
         int(tot)   # scalar fetch forces the whole scan (axon quirk)
         wall_ms = (_time.perf_counter() - t0) * 1e3
         return np.asarray(deps), np.asarray(vws), wall_ms
