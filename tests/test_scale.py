@@ -116,3 +116,39 @@ def test_bfs_s22_on_chip():
         csr, src, mark_preds=False)
     ref_labels, _ = _bfs_oracle(csr, src)
     np.testing.assert_array_equal(labels, ref_labels)
+
+
+def test_split_mega_plan_exact():
+    """Graphs whose packed scalar metadata exceeds the 1 MB SMEM
+    budget run source-split sub-plans chained within each level
+    (rmat-s22 in production); force the split here by shrinking the
+    budget and require oracle-exact labels through both the
+    single-search and multi-search drivers."""
+    import jax
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    from gunrockinst_tpu.ops import pallas_mega
+    from gunrockinst_tpu.primitives import bfs_pallas
+
+    old = pallas_mega.SMEM_META_LIMIT
+    pallas_mega.SMEM_META_LIMIT = 2000 * 4   # forces 2-4 parts at s11
+    try:
+        csr = rmat_graph(11, 8, undirected=True, seed=5)
+        # fresh caches: the fused drivers cache per-CsrGraph, so a new
+        # graph object guarantees the split path builds here
+        for src in (0, int(np.argmax(csr.degrees))):
+            labels, _, depth, _ = bfs_pallas.bfs_pallas_fused(
+                csr, src, mark_preds=False)
+            ref_l, _ = _bfs_oracle(csr, src)
+            np.testing.assert_array_equal(labels, ref_l)
+        fn = bfs_pallas.get_fused_bfs_multi(csr, reps=2)
+        srcs = np.array([3, 200], np.int32)
+        deps, vws, _ = fn(srcs)
+        for i, s in enumerate(srcs):
+            ref_l, _ = _bfs_oracle(csr, int(s))
+            vis = np.unpackbits(
+                np.asarray(vws[i]).reshape(-1).view(np.uint8),
+                bitorder="little")[: csr.num_nodes].astype(bool)
+            np.testing.assert_array_equal(
+                vis, ref_l != np.iinfo(np.int32).max)
+    finally:
+        pallas_mega.SMEM_META_LIMIT = old
