@@ -196,7 +196,8 @@ def main():
                                             "2700"))):
                 bfs_line_for(rmat_graph(22, EDGE_FACTOR,
                                         undirected=True, seed=42,
-                                        cache_dir=CACHE), "rmat-s22")
+                                        cache_dir=CACHE), "rmat-s22",
+                             multi_k=8)
         except _Budget.Expired:
             log("# s22 line skipped: budget expired")
         except Exception as e:
@@ -216,15 +217,41 @@ def main():
     return 0
 
 
-def bfs_line_for(gcsr, name):
-    """One exact-checked BFS line on an arbitrary graph (exercises the
-    full-plane-count recompile path on high-diameter graphs,
-    bfs_pallas.get_fused_bfs)."""
+def bfs_line_for(gcsr, name, multi_k: int = 0):
+    """One exact-checked BFS line on an arbitrary graph.  multi_k > 0
+    amortizes the dispatch over K distinct-source searches (like the
+    headline; visited-set-exact per search); multi_k == 0 runs the
+    single-search driver, which also exercises the full-plane-count
+    recompile path on high-diameter graphs (bfs_pallas.get_fused_bfs)."""
     import numpy as np
     from gunrockinst_tpu.primitives import bfs_pallas
     from gunrockinst_tpu.oracles import bfs_reference
 
     src = int(np.argmax(gcsr.degrees))
+    if multi_k:
+        try:
+            fn = bfs_pallas.get_fused_bfs_multi(gcsr, reps=multi_k)
+            srcs = np.argsort(-gcsr.degrees,
+                              kind="stable")[:multi_k].astype(np.int32)
+            deps, vws, _ = fn(srcs)            # warm-up/compile
+            _, vws, wall = fn(srcs)
+            visited = np.unpackbits(
+                np.asarray(vws[0]).reshape(-1).view(np.uint8),
+                bitorder="little")[: gcsr.num_nodes].astype(bool)
+            edges = int(gcsr.degrees[visited].sum())
+            ref_l, _ = bfs_reference(gcsr, int(srcs[0]))
+            exact = bool(np.array_equal(
+                visited, ref_l != np.iinfo(np.int32).max))
+            per = wall / multi_k
+            log(f"# bfs ({name}): {per:.1f} ms/search "
+                f"({multi_k} distinct sources/dispatch), depth "
+                f"{int(deps[0])}, {edges} edges -> "
+                f"{edges/(per*1e6):.4f} GTEPS, exact={exact}")
+            assert exact, f"{name} BFS mismatch vs oracle"
+            return
+        except Exception as e:
+            log(f"# bfs ({name}) multi-dispatch unavailable ({e}); "
+                "single-search fallback")
     labels, _, depth, _ = bfs_pallas.bfs_pallas_fused(
         gcsr, src, mark_preds=False)          # warm-up/compile
     labels, _, depth, ms = bfs_pallas.bfs_pallas_fused(
