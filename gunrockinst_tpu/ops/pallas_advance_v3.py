@@ -97,7 +97,8 @@ class PullPlanV3:
 def build_pull_plan_v3(adj_row_offsets: np.ndarray,
                        adj_col_indices: np.ndarray, n: int,
                        subtiles: int = SUBTILES,
-                       gather_region: int = REGION) -> PullPlanV3:
+                       gather_region: int = REGION,
+                       hub_class_placed: bool = False) -> PullPlanV3:
     """Build v3 hub/packed tile sets from the pull-direction adjacency
     (pass the CSC: rows = destination, cols = source).
 
@@ -150,21 +151,63 @@ def build_pull_plan_v3(adj_row_offsets: np.ndarray,
         wl = w % 128
         sk = (reg, w // 128)
         if cnt >= HUB_T:
-            full, rem = divmod(cnt, TILE_E)
-            for t in range(full):
-                hub_tiles_list.append(
-                    packed_val[s + t * TILE_E: s + (t + 1) * TILE_E])
-                hub_meta.append((reg * rows_per_reg, w // 128, wl))
-            s += full * TILE_E
-            if rem >= HUB_T:
-                tile = np.full(TILE_E, dummy, np.int64)
-                tile[:rem] = packed_val[s: s + rem]
-                hub_tiles_list.append(tile)
-                hub_meta.append((reg * rows_per_reg, w // 128, wl))
-                continue
-            cnt = rem            # remainder flows into packed chunks
-            if cnt == 0:
-                continue
+            if hub_class_placed and rows_per_reg == 8:
+                # round-4 mega fast gather: slot sublane == source
+                # frontier-row class (rel = (src>>12) - row_base), so
+                # the in-kernel gather is ONE stacked 8-row take
+                # instead of the 8-step select tree.  Bucket the
+                # cell's edges by class and fill <=128 per class per
+                # tile; skewed classes spill to further tiles (a few %
+                # utilization at rmat-s20), and the sub-HUB_T tail
+                # still flows to the packed chunks.
+                ev = packed_val[s: s + cnt]
+                rel = ((ev & ((1 << SHIFT_BITS) - 1)) >> 12)                     - reg * rows_per_reg
+                buckets = [ev[rel == c] for c in range(8)]
+                pos = [0] * 8
+                remaining = cnt
+                while remaining >= HUB_T:
+                    tile = np.full((8, 128), dummy, np.int64)
+                    took = 0
+                    for c in range(8):
+                        avail = len(buckets[c]) - pos[c]
+                        take = min(128, avail)
+                        if take > 0:
+                            tile[c, :take] = buckets[c][
+                                pos[c]: pos[c] + take]
+                            pos[c] += take
+                            took += take
+                    if took == 0:
+                        break
+                    remaining -= took
+                    hub_tiles_list.append(tile.reshape(-1))
+                    hub_meta.append((reg * rows_per_reg, w // 128, wl))
+                if remaining > 0:
+                    # tail (< HUB_T or class-starved): re-pack the
+                    # leftovers contiguously for the packed chunks
+                    # (in-place permutation of this cell's own range —
+                    # the order within a cell is free)
+                    left = np.concatenate(
+                        [buckets[c][pos[c]:] for c in range(8)])
+                    packed_val[s: s + remaining] = left
+                    cnt = remaining
+                else:
+                    continue
+            else:
+                full, rem = divmod(cnt, TILE_E)
+                for t in range(full):
+                    hub_tiles_list.append(
+                        packed_val[s + t * TILE_E: s + (t + 1) * TILE_E])
+                    hub_meta.append((reg * rows_per_reg, w // 128, wl))
+                s += full * TILE_E
+                if rem >= HUB_T:
+                    tile = np.full(TILE_E, dummy, np.int64)
+                    tile[:rem] = packed_val[s: s + rem]
+                    hub_tiles_list.append(tile)
+                    hub_meta.append((reg * rows_per_reg, w // 128, wl))
+                    continue
+                cnt = rem        # remainder flows into packed chunks
+                if cnt == 0:
+                    continue
         groups, suffixes, singles = supers[sk]
         g, rr = divmod(cnt, 64)
         off = s

@@ -89,6 +89,9 @@ class MegaPlan:
     # first frontier row covered by this (possibly split) plan's
     # region 0 — nonzero only for split_mega_plan sub-plans
     region_row_off: int = 0
+    # hub tiles class-placed (sublane == source frontier-row class):
+    # enables the one-take stacked gather in _hub_group
+    hub_classed: bool = False
 
 
 def build_mega_plan(adj_row_offsets: np.ndarray,
@@ -113,8 +116,17 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
     The 8-row select-tree gather + 32K-region skip + big-cell packing
     is a genuine local optimum; the rpr==1 path is kept for
     experimentation on denser graphs."""
+    # hub class-placement (sublane == source row class, one-take
+    # gather) measured DOA on R-MAT: the generator's self-similarity
+    # piles sources into low in-region classes, so per-class capacity
+    # (128/tile) halves hub utilization (0.94 -> 0.44, 12.6K -> 24.9K
+    # tiles at s20) and the +50 MB/sweep of extra tile DMA outweighs
+    # the cheaper gather.  Kept behind hub_class_placed for uniform-id
+    # graphs; default OFF.
+    hub_classed = False
     plan = build_pull_plan_v3(adj_row_offsets, adj_col_indices, n,
-                              subtiles=1, gather_region=gather_region)
+                              subtiles=1, gather_region=gather_region,
+                              hub_class_placed=hub_classed)
     rpr = gather_region // 4096
     R = plan.n_words // (ROWS_PER_REGION * 128)
     pad = 256    # >= any chunk overshoot (max tunable chunk)
@@ -158,6 +170,7 @@ def build_mega_plan(adj_row_offsets: np.ndarray,
         pk_idx=pk_idx,
         pk_rs=pk_rs,
         rows_per_reg=rpr,
+        hub_classed=hub_classed,
     )
 
 
@@ -201,6 +214,7 @@ def split_mega_plan(plan: MegaPlan, parts: int = 2):
                    - plan.pk_rs[lo]).astype(np.int32),
             rows_per_reg=plan.rows_per_reg,
             region_row_off=lo * ROWS_PER_REGION,
+            hub_classed=plan.hub_classed,
         ))
     return out
 
@@ -229,8 +243,20 @@ def _gather_active(src, row_base, fr_ref, rpr: int, dummy: int):
     return (g >> (src & 31)) & 1
 
 
+def _gather_active_classed(src, row_base, fr_ref, dummy):
+    """Class-placed hub gather: sublane s holds only sources whose
+    frontier row is row_base+s, so ONE stacked 8-row lane-take replaces
+    the 8-step select tree (~6 wide ops vs ~26).  Dummy padding slots
+    must be masked (their lane/row would read a real word)."""
+    lane = (src >> 5) & 127
+    op8 = fr_ref[pl.ds(row_base, 8), :]
+    g = jnp.take_along_axis(op8, lane, axis=1)
+    g = jnp.where(src == dummy, 0, g)
+    return (g >> (src & 31)) & 1
+
+
 def _hub_group(base, buf_ref, kbase, hmeta, fr_ref, nx_ref,
-               lane_iota, rpr, dummy):
+               lane_iota, rpr, dummy, hub_classed=False):
     """UNROLL consecutive hub subtiles with the cross-lane OR tree
     BATCHED: the per-subtile (1,128) sublane-reduced rows stack into
     one (UNROLL,128) register, so the 7-step all-lane roll tree runs
@@ -250,8 +276,12 @@ def _hub_group(base, buf_ref, kbase, hmeta, fr_ref, nx_ref,
         packed = buf_ref[pl.ds(8 * k, 8), :]
         src = packed & SRC_MASK
         shift = packed >> SHIFT_BITS
-        active = _gather_active(src, hmeta[base + u] >> 19, fr_ref,
-                                rpr, dummy)
+        if hub_classed:
+            active = _gather_active_classed(
+                src, hmeta[base + u] >> 19, fr_ref, dummy)
+        else:
+            active = _gather_active(src, hmeta[base + u] >> 19,
+                                    fr_ref, rpr, dummy)
         bitval = active << shift
         v = bitval[0:4, :] | bitval[4:8, :]
         v = v[0:2, :] | v[2:4, :]
@@ -303,7 +333,7 @@ def _make_step_kernel(R: int, rows: int, planes: int,
                       chunk: int = CHUNK, slots: int = SLOTS,
                       unroll: int = UNROLL,
                       rpr: int = ROWS_PER_REGION, dummy: int = 0,
-                      reg_row_off: int = 0):
+                      reg_row_off: int = 0, hub_classed: bool = False):
     """One full BFS LEVEL per pallas call: pull sweep + visited cull +
     bit-plane label update, all in VMEM.  The level loop lives in XLA
     (bfs_pallas.get_fused_bfs jits a lax.while_loop of steps) but the
@@ -361,7 +391,7 @@ def _make_step_kernel(R: int, rows: int, planes: int,
                 base = start + c * CHUNK + g * UNROLL
                 _hub_group(base, hbuf.at[slot], g * UNROLL,
                            hmeta, fr_ref, out_ref, lane_iota,
-                           rpr, dummy)
+                           rpr, dummy, hub_classed=hub_classed)
 
                 @pl.when(g == GROUPS - 1)
                 def _():
@@ -525,7 +555,8 @@ class MegaStepper:
         kernel = _make_step_kernel(R, rows, planes, chunk=chunk,
                                    slots=slots, unroll=unroll,
                                    rpr=plan.rows_per_reg, dummy=plan.n,
-                                   reg_row_off=plan.region_row_off)
+                                   reg_row_off=plan.region_row_off,
+                                   hub_classed=plan.hub_classed)
         self.fn = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
