@@ -33,10 +33,12 @@ comb identity skip the entire reduce/route/RMW half (`pl.when`) — on
 late sparse rounds (SSSP/CC tails, converged PR regions) most
 subtiles skip, which is exact: combining the identity is a no-op.
 Streaming is pallas_mega.py's: grid=(1,), 4-deep manual
-`make_async_copy` chunks, per-region subtile ranges — with one change:
-region chunk lists are PADDED to CHUNK multiples instead of letting
-chunks overshoot into the next region (overshoot re-processes subtiles,
-which is only correct for idempotent combines; ADD is not).
+`make_async_copy` chunks, subtile ranges per DMA SUPER-region
+(DMA_REGS fine regions each, so the copy pipeline stays deep) — with
+one change: chunk lists are PADDED to CHUNK multiples instead of
+letting chunks overshoot into the next super-region (overshoot
+re-processes subtiles, which is only correct for idempotent combines;
+ADD is not).
 
 Modes (one kernel, static config):
   * min + weights, f32 — SSSP Bellman relax round: gathers reassemble
@@ -149,8 +151,10 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     row = dst, col = src).  pallas_advance_v2.build_pull_plan_v2's cell
     geometry and packer with (a) 4096-vertex source regions, (b)
     per-edge weight tiles aligned slot-for-slot with the edge tiles,
-    (c) per-region subtile ranges padded to CHUNK multiples, (d)
-    per-subtile metadata packed into one int32 each."""
+    (c) row-PAIR pk supercells (PAIR_W words) for packing density +
+    a contiguous (64,128) block RMW, (d) subtile ranges per DMA
+    super-region padded to CHUNK multiples, (e) per-subtile metadata
+    packed into one int32 each."""
     m = int(adj_col_indices.shape[0])
     dst = np.repeat(np.arange(n, dtype=np.int64),
                     np.diff(adj_row_offsets)).astype(np.int64)

@@ -224,3 +224,43 @@ def test_wtf_planes_matches_oracle():
                                         cot_size=50, cot=res.cot)
         np.testing.assert_allclose(res.wtf_ranks, ref_rank2,
                                    rtol=1e-3, atol=1e-6)
+
+
+def test_value_kernel_randomized_modes():
+    """Randomized mini-fuzz across graph shapes x kernel modes: the
+    round-4 layout (word-row-major acc, row-pair supercells, block
+    RMW, min-mode subtile skip) must stay exact against brute-force
+    numpy combines for several rounds with evolving changed sets."""
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n = int(rng.integers(40, 600))
+        m = int(rng.integers(n, n * 8))
+        esrc = rng.integers(0, n, m).astype(np.int64)
+        edst = rng.integers(0, n, m).astype(np.int64)
+        w = rng.random(m).astype(np.float32) + 0.1
+        from gunrockinst_tpu.graph.coo import CooGraph
+        csr = CsrGraph.from_coo(CooGraph(n, esrc, edst, values=w))
+        csc = csr.transposed()
+        plan = build_value_plan(csc.row_offsets, csc.col_indices, n,
+                                weights=csc.edge_values.astype(
+                                    np.float32))
+        stepper = ValueStepper(plan, mode="min", f32=True,
+                               use_active=True, interpret=True)
+        # brute-force oracle: one Jacobi min-plus round over changed
+        es = np.repeat(np.arange(n), np.diff(csr.row_offsets))
+        ed = csr.col_indices
+        ww = csr.edge_values.astype(np.float32)
+        dist = rng.random(n).astype(np.float32) * 10
+        changed = rng.random(n) < 0.3
+        acc = jnp.asarray(to_bitmajor_np(dist, plan.rows_w))
+        ch = jnp.asarray(words_from_mask(changed, plan.n_words))
+        for _ in range(2):
+            acc, ch = stepper(acc, ch)
+            exp = dist.copy()
+            np.minimum.at(exp, ed[changed[es]],
+                          (dist[es] + ww)[changed[es]])
+            got = from_bitmajor_np(np.asarray(acc), n, np.float32)
+            np.testing.assert_array_equal(got, exp)
+            got_ch = mask_from_words(np.asarray(ch), n)
+            np.testing.assert_array_equal(got_ch, exp < dist)
+            dist, changed = exp, exp < dist
