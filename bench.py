@@ -26,7 +26,11 @@ import time
 SCALE = int(os.environ.get("BENCH_SCALE", "20"))
 EDGE_FACTOR = int(os.environ.get("BENCH_EDGE_FACTOR", "16"))
 N_RUNS = int(os.environ.get("BENCH_RUNS", "3"))
-SECONDARY_BUDGET_S = int(os.environ.get("BENCH_SECONDARY_BUDGET", "600"))
+# the tail grew in round 4 (hits/salsa/wtf planes + two BC lines);
+# everything is warm-cached so this is runtime, not compile, budget —
+# and the headline JSON has already printed when it starts
+SECONDARY_BUDGET_S = int(os.environ.get("BENCH_SECONDARY_BUDGET",
+                                        "1500"))
 CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      ".bench_cache")
 
