@@ -494,8 +494,11 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
 
     # min modes carry shrinking changed sets -> per-subtile skip pays;
     # add mode stays branchless (see the measured tradeoff in
-    # hub_subtile)
-    subtile_skip = is_min
+    # hub_subtile).  The skip is EXACT only when use_active gates
+    # candidates on the changed words (ract[q] == 0 then implies every
+    # candidate is the identity); a min stepper without active gating
+    # must stay branchless or it would drop relaxations.
+    subtile_skip = is_min and use_active
 
     def comb(a, b):
         return jnp.minimum(a, b) if is_min else a + b

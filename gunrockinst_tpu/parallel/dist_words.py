@@ -247,11 +247,13 @@ def dobfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
             jnp.where(esrc != graph.n, 1, 0))
 
         def cond(c):
-            labels, preds, fw, depth, pulls, was_pull, traffic = c
+            (labels, preds, fw, depth, pulls, was_pull, left_pull,
+             traffic) = c
             return jnp.any(fw != 0) & (depth <= graph.n)
 
         def body(c):
-            labels, preds, fw, depth, pulls, was_pull, traffic = c
+            (labels, preds, fw, depth, pulls, was_pull, left_pull,
+             traffic) = c
             unvis = labels == INT_MAX
             # replicated switch stats: alpha-weighted scan volumes,
             # accumulated in f32 (int32 sums wrap past 2^31 edges and
@@ -267,11 +269,16 @@ def dobfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
             n_front = jax.lax.psum(
                 jnp.sum(fbit.astype(jnp.float32)), EDGE_AXIS)
             # Beamer hysteresis: enter pull on the alpha inequality;
-            # once pulling, also STAY in pull while the frontier holds
-            # at least nodes/beta vertices even if the alpha test flips
-            # (dobfs_enactor.cuh:397 enter, :569 leave)
-            use_pull = (f_edges * alpha > u_edges) | (
-                was_pull & (n_front >= jnp.float32(graph.n) / beta))
+            # once pulling, STAY in pull while the frontier holds at
+            # least nodes/beta vertices even if the alpha test flips
+            # (dobfs_enactor.cuh:397 enter, :569 leave).  `left_pull`
+            # latches the pull->push exit so the phase sequence is
+            # one-way push->pull->push like the reference's phase C
+            # (no re-entry when the alpha inequality fires again on a
+            # late ripple).
+            use_pull = ~left_pull & (
+                (f_edges * alpha > u_edges) | (
+                    was_pull & (n_front >= jnp.float32(graph.n) / beta)))
 
             def push(_):
                 active = _frontier_bit(fw, esrc).astype(jnp.bool_)
@@ -300,12 +307,14 @@ def dobfs_dist_words(graph: DstShardedGraph, src: int, mesh: Mesh,
                                     EDGE_AXIS, tiled=True)
             return (labels, preds, fw, depth + 1,
                     pulls + use_pull.astype(jnp.int32), use_pull,
+                    left_pull | (was_pull & ~use_pull),
                     traffic + nwl * 4)
 
-        (labels, preds, fw, depth, pulls, _wp,
+        (labels, preds, fw, depth, pulls, _wp, _lp,
          traffic) = jax.lax.while_loop(
             cond, body, (labels0, preds0, fw0, jnp.int32(0),
-                         jnp.int32(0), jnp.bool_(False), jnp.int32(0)))
+                         jnp.int32(0), jnp.bool_(False),
+                         jnp.bool_(False), jnp.int32(0)))
         return labels, preds, depth[None], pulls[None], traffic[None]
 
     labels, preds, depth, pulls, traffic = jax.jit(search)(
@@ -735,9 +744,11 @@ def salsa_dist_words(csr: CsrGraph, mesh: Mesh, max_iter: int = 50):
         in_nodes = jnp.maximum(jnp.sum((indeg_g > 0).astype(
             jnp.float32)), 1.0)
         ar = jnp.arange(n_pad)
-        hub0 = jnp.where(ar <= GN, 1.0 / out_nodes, 0.0).astype(
+        # strictly < GN: the dummy vertex GN keeps pad state 0, the
+        # same invariant the single-chip salsa_kernel maintains
+        hub0 = jnp.where(ar < GN, 1.0 / out_nodes, 0.0).astype(
             jnp.float32)
-        auth0 = jnp.where(ar <= GN, 1.0 / in_nodes, 0.0).astype(
+        auth0 = jnp.where(ar < GN, 1.0 / in_nodes, 0.0).astype(
             jnp.float32)
         src_g_ids = me * n_loc + bsrc_loc
         valid_b = bdst_glob != GN
