@@ -182,11 +182,19 @@ def split_mega_plan(plan: MegaPlan, parts: int = 2):
     part uses only that part's touched bits, so running the parts
     SEQUENTIALLY inside one level (chaining visited/planes, OR-ing the
     next-frontier outputs) is exact: part 2's `new = touched & ~vw1`
-    cannot re-claim part 1's claims, and both carry the same depth."""
-    R = plan.num_regions
+    cannot re-claim part 1's claims, and both carry the same depth.
+
+    Round 5: sub-plans keep the FULL region range (global rs arrays
+    clipped to the part's subtile span, region_row_off == 0) so every
+    part — and its destination-ordered twin (dst_order_plan) — shares
+    ONE compiled kernel shape (R = rows / ROWS_PER_REGION).  Regions
+    outside the part's span have empty ranges and cost one scalar test
+    each."""
+    R_full = plan.n_words // (ROWS_PER_REGION * 128)
     pad = 256
     out = []
-    bounds = [round(p * R / parts) for p in range(parts + 1)]
+    bounds = [round(p * plan.num_regions / parts)
+              for p in range(parts + 1)]
     for p in range(parts):
         lo, hi = bounds[p], bounds[p + 1]
         hlo, hhi = int(plan.hub_rs[lo]), int(plan.hub_rs[hi])
@@ -197,26 +205,108 @@ def split_mega_plan(plan: MegaPlan, parts: int = 2):
             tail = a[-pad * rows_per:]
             return np.concatenate([body, tail])
 
+        def full_rs(rs, lo_c, hi_c):
+            return (np.clip(rs[: R_full + 1], lo_c, hi_c)
+                    - lo_c).astype(np.int32)
+
         out.append(MegaPlan(
             n=plan.n, m=plan.m, n_words=plan.n_words,
-            num_regions=hi - lo, planes=plan.planes,
+            num_regions=R_full, planes=plan.planes,
             hub_tiles=slc(plan.hub_tiles, hlo, hhi, 8),
             hub_row_base=slc(plan.hub_row_base, hlo, hhi),
             hub_out_row=slc(plan.hub_out_row, hlo, hhi),
             hub_out_lane=slc(plan.hub_out_lane, hlo, hhi),
-            hub_rs=(plan.hub_rs[lo: hi + 1]
-                    - plan.hub_rs[lo]).astype(np.int32),
+            hub_rs=full_rs(plan.hub_rs, hlo, hhi),
             pk_tiles=slc(plan.pk_tiles, plo, phi, 8),
             pk_row_base=slc(plan.pk_row_base, plo, phi),
             pk_out_row=slc(plan.pk_out_row, plo, phi),
             pk_idx=slc(plan.pk_idx, plo, phi),
-            pk_rs=(plan.pk_rs[lo: hi + 1]
-                   - plan.pk_rs[lo]).astype(np.int32),
+            pk_rs=full_rs(plan.pk_rs, plo, phi),
             rows_per_reg=plan.rows_per_reg,
-            region_row_off=lo * ROWS_PER_REGION,
+            region_row_off=0,
             hub_classed=plan.hub_classed,
         ))
     return out
+
+
+def dst_order_plan(plan: MegaPlan):
+    """Destination-ordered twin of `plan`: the SAME subtiles, re-sorted
+    by destination super-region (out_row // ROWS_PER_REGION) so the
+    kernel's per-region skip operates on DESTINATION activity (any
+    unvisited reachable vertex in the 32K-dst block) instead of source
+    frontier activity — the TPU re-expression of the reference's
+    backward/pull kernel scanning only unvisited vertices
+    (gunrock/oprtr/edge_map_backward/cta.cuh:91-331) and of DOBFS's
+    phase switching (dobfs_enactor.cuh:397-569), at the region
+    granularity this backend can branch on (per-subtile conditionals
+    break Mosaic pipelining — pallas_mega.py:100-127).
+
+    Returns (twin_plan, hub_perm, pk_perm).  The twin's metadata/rs
+    arrays are host-permuted; its tile arrays are the UNPERMUTED
+    originals (placeholders) — pass `tiles_from=` to MegaStepper to
+    permute an existing device-resident tile copy on-device instead of
+    re-uploading ~190 MB over the tunnel.  Chunk overshoot stays exact:
+    pull-OR claims into a skipped (all-visited) region are erased by
+    the `new = touched & ~visited` epilogue.
+
+    Requires an unsplit plan or a round-5 full-range split part
+    (region_row_off == 0)."""
+    assert plan.region_row_off == 0
+    R_full = plan.n_words // (ROWS_PER_REGION * 128)
+    pad = 256
+
+    def reorder(out_row, rs, meta_arrays, rows_per=1):
+        nreal = int(rs[-1])
+        key = out_row[:nreal] // ROWS_PER_REGION
+        perm = np.argsort(key, kind="stable").astype(np.int64)
+        new_rs = np.searchsorted(key[perm],
+                                 np.arange(R_full + 1)).astype(np.int32)
+        full_perm = np.concatenate(
+            [perm, np.arange(nreal, out_row.shape[0])])
+        return full_perm, new_rs, [a[full_perm] for a in meta_arrays]
+
+    h_perm, h_rs, (h_rb, h_or, h_ol) = reorder(
+        plan.hub_out_row, plan.hub_rs,
+        [plan.hub_row_base, plan.hub_out_row, plan.hub_out_lane])
+    p_perm, p_rs, (p_rb, p_or, p_idx) = reorder(
+        plan.pk_out_row, plan.pk_rs,
+        [plan.pk_row_base, plan.pk_out_row, plan.pk_idx])
+
+    twin = MegaPlan(
+        n=plan.n, m=plan.m, n_words=plan.n_words,
+        num_regions=R_full, planes=plan.planes,
+        hub_tiles=plan.hub_tiles, hub_row_base=h_rb, hub_out_row=h_or,
+        hub_out_lane=h_ol, hub_rs=h_rs,
+        pk_tiles=plan.pk_tiles, pk_row_base=p_rb, pk_out_row=p_or,
+        pk_idx=p_idx, pk_rs=p_rs,
+        rows_per_reg=plan.rows_per_reg, region_row_off=0,
+        hub_classed=plan.hub_classed,
+    )
+    return twin, h_perm.astype(np.int32), p_perm.astype(np.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=())
+def _permute_tile_rows(tiles, perm):
+    """(T*8, 128) tile stream -> subtile-permuted copy, on device (the
+    host->HBM tunnel runs at only a few MB/s; an on-device gather of
+    the already-uploaded tiles is ~ms)."""
+    t = tiles.reshape(perm.shape[0], 8, 128)
+    return jnp.take(t, perm, axis=0).reshape(tiles.shape)
+
+
+@jax.jit
+def _permute_rows(arr, perm):
+    """(T, 128) idx stream -> permuted copy (pk_idx is 1 row/subtile)."""
+    return jnp.take(arr, perm, axis=0)
+
+
+def region_chunk_counts(plan: MegaPlan) -> np.ndarray:
+    """(R,) int32: DMA/compute cost of each super-region in CHUNK
+    units (hub + packed), for the per-level src-vs-dst plan choice."""
+    def chunks(rs):
+        d = np.diff(rs.astype(np.int64))
+        return (d + CHUNK - 1) // CHUNK
+    return (chunks(plan.hub_rs) + chunks(plan.pk_rs)).astype(np.int32)
 
 
 def _gather_active(src, row_base, fr_ref, rpr: int, dummy: int):
@@ -499,7 +589,8 @@ class MegaStepper:
 
     def __init__(self, plan: MegaPlan, planes: int = 8,
                  interpret: bool = False, chunk: int = CHUNK,
-                 slots: int = SLOTS, unroll: int = UNROLL):
+                 slots: int = SLOTS, unroll: int = UNROLL,
+                 tiles_from=None):
         if not interpret and not sweep_fits(plan.n, planes):
             raise ValueError(
                 f"step kernel VMEM residency "
@@ -546,11 +637,23 @@ class MegaStepper:
             jax.device_put(pmeta),
             jax.device_put(plan.pk_rs),
         )
-        self.pk_args = (
-            jax.device_put(plan.hub_tiles),
-            jax.device_put(plan.pk_tiles),
-            jax.device_put(plan.pk_idx),
-        )
+        if tiles_from is None:
+            self.pk_args = (
+                jax.device_put(plan.hub_tiles),
+                jax.device_put(plan.pk_tiles),
+                jax.device_put(plan.pk_idx),
+            )
+        else:
+            # dst-ordered twin: permute the src stepper's device-
+            # resident tiles on-device (dst_order_plan docstring)
+            src_args, hub_perm, pk_perm = tiles_from
+            hp = jax.device_put(hub_perm)
+            pp = jax.device_put(pk_perm)
+            self.pk_args = (
+                _permute_tile_rows(src_args[0], hp),
+                _permute_tile_rows(src_args[1], pp),
+                _permute_rows(src_args[2], pp),
+            )
 
         kernel = _make_step_kernel(R, rows, planes, chunk=chunk,
                                    slots=slots, unroll=unroll,
@@ -591,13 +694,21 @@ class MegaStepper:
             interpret=interpret,
         )
 
-        def step_with(scal, hbm, fw, vw, pln, d):
+        def step_with_ract(scal, hbm, ract, fw, vw, pln, d):
+            """Explicit per-word-row activity flags: frontier rows for
+            a source-ordered plan, unvisited-reachable rows for a
+            dst-ordered twin (the flags must match the plan's rs
+            ordering)."""
             d_arr = jnp.asarray([d], jnp.int32)
+            return self.fn(d_arr, *scal, ract, *hbm, fw, vw, pln)
+
+        def step_with(scal, hbm, fw, vw, pln, d):
             # per-row frontier activity flags: the kernel's scalar
             # work-skip tests read these from SMEM (a tiny XLA
             # any-reduce per level — vector-derived pl.when conditions
             # in-kernel cost ~1 us each)
             ract = jnp.any(fw != 0, axis=1).astype(jnp.int32)
-            return self.fn(d_arr, *scal, ract, *hbm, fw, vw, pln)
+            return step_with_ract(scal, hbm, ract, fw, vw, pln, d)
 
         self.step_with = step_with
+        self.step_with_ract = step_with_ract

@@ -112,34 +112,108 @@ def _post_preds(labels, esrc, edst, n_pad: int):
 _fused_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _make_steppers(plan, planes: int, interp: bool):
-    """One MegaStepper, or several over source-split sub-plans when the
-    packed scalar metadata exceeds the 1 MB SMEM budget (rmat-s22+).
-    See ops/pallas_mega.split_mega_plan for the exactness argument."""
-    from gunrockinst_tpu.ops.pallas_mega import (MegaStepper,
-                                                 split_mega_plan)
-    try:
-        return [MegaStepper(plan, planes=planes, interpret=interp)]
-    except ValueError:
-        last = None
-        for parts in (2, 3, 4):
-            try:
-                return [MegaStepper(sp, planes=planes, interpret=interp)
-                        for sp in split_mega_plan(plan, parts)]
-            except ValueError as e:
-                last = e
-        raise last
+class _PlanSet:
+    """Source-ordered MegaSteppers (1 per SMEM-budget part) plus their
+    destination-ordered twins and per-super-region chunk-cost vectors.
 
+    Per level, each part runs whichever ordering currently has less
+    active work: source-side region skip (frontier rows — wins while
+    the frontier is compact) or destination-side region skip
+    (unvisited-reachable rows — wins once most claimable vertices are
+    visited).  The reference's forward/backward kernel pair +
+    direction-optimized switching re-expressed at TPU region
+    granularity (edge_map_backward/cta.cuh:91-331,
+    dobfs_enactor.cuh:397-569); the twin reuses the SAME compiled
+    kernel (identical shapes) with re-sorted operands, so the switch
+    costs one XLA cond per level and zero extra Mosaic compiles."""
 
-def _chain_steps(steppers, scals, hbms, fw, vw, planes, d):
-    """Run one BFS level across the (1 or more) plan parts: visited
-    and label planes chain through; next-frontier words OR."""
-    import jax.numpy as jnp
-    nfw_acc = None
-    for st, sc, hb in zip(steppers, scals, hbms):
-        nfw, vw, planes = st.step_with(sc, hb, fw, vw, planes, d)
-        nfw_acc = nfw if nfw_acc is None else (nfw_acc | nfw)
-    return nfw_acc, vw, planes
+    def __init__(self, plan, planes: int, interp: bool,
+                 want_dst: bool = True):
+        from gunrockinst_tpu.ops.pallas_mega import (
+            MegaStepper, split_mega_plan, dst_order_plan,
+            region_chunk_counts)
+        import os as _os
+        if _os.environ.get("GT_BFS_DST", "1") != "1":
+            want_dst = False
+        try:
+            parts = [plan]
+            steppers = [MegaStepper(plan, planes=planes,
+                                    interpret=interp)]
+        except ValueError:
+            steppers = None
+            last = None
+            for k in (2, 3, 4):
+                try:
+                    parts = split_mega_plan(plan, k)
+                    steppers = [MegaStepper(sp, planes=planes,
+                                            interpret=interp)
+                                for sp in parts]
+                    break
+                except ValueError as e:
+                    last = e
+            if steppers is None:
+                raise last
+        self.steppers = steppers
+        self.rows = plan.n_words // 128
+        self.dst_steppers = []
+        self.costs = []
+        for sp, st in zip(parts, steppers):
+            cs = jnp.asarray(region_chunk_counts(sp))
+            if want_dst:
+                twin, hperm, pkperm = dst_order_plan(sp)
+                dst_st = MegaStepper(
+                    twin, planes=planes, interpret=interp,
+                    tiles_from=(st.pk_args, hperm, pkperm))
+                cd = jnp.asarray(region_chunk_counts(twin))
+            else:
+                dst_st, cd = None, cs
+            self.dst_steppers.append(dst_st)
+            self.costs.append((cs, cd))
+
+    # ---- argument pytrees (device arrays must cross jit boundaries
+    # as arguments, never as closure constants: axon's remote compile
+    # rejects large inlined constants) ----
+    def args(self):
+        scal = tuple(st.hub_args for st in self.steppers)
+        hbm = tuple(st.pk_args for st in self.steppers)
+        scal_d = tuple(st.hub_args if st is not None else ()
+                       for st in self.dst_steppers)
+        hbm_d = tuple(st.pk_args if st is not None else ()
+                      for st in self.dst_steppers)
+        return (scal, hbm, scal_d, hbm_d, tuple(self.costs))
+
+    def level(self, args, fw, vw, planes, d, reach):
+        """One BFS level across all parts with the per-part
+        src-vs-dst choice; returns (next frontier words, visited',
+        planes')."""
+        scal, hbm, scal_d, hbm_d, costs = args
+        nfw_acc = None
+        R = self.rows // 8
+        for i, (st, dst_st) in enumerate(zip(self.steppers,
+                                             self.dst_steppers)):
+            ract_s = jnp.any(fw != 0, axis=1).astype(jnp.int32)
+            if dst_st is None:
+                nfw, vw, planes = st.step_with_ract(
+                    scal[i], hbm[i], ract_s, fw, vw, planes, d)
+            else:
+                ract_d = jnp.any((reach & ~vw) != 0,
+                                 axis=1).astype(jnp.int32)
+                cs, cd = costs[i]
+
+                def cost_of(ract, cnt):
+                    act = jnp.any(ract.reshape(R, 8) != 0, axis=1)
+                    return jnp.sum(jnp.where(act, cnt, 0))
+
+                use_dst = cost_of(ract_d, cd) < cost_of(ract_s, cs)
+                nfw, vw, planes = jax.lax.cond(
+                    use_dst,
+                    lambda a: dst_st.step_with_ract(
+                        scal_d[i], hbm_d[i], a[0], *a[2:]),
+                    lambda a: st.step_with_ract(
+                        scal[i], hbm[i], a[1], *a[2:]),
+                    (ract_d, ract_s, fw, vw, planes, d))
+            nfw_acc = nfw if nfw_acc is None else (nfw_acc | nfw)
+        return nfw_acc, vw, planes
 
 
 def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
@@ -164,6 +238,7 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
     from gunrockinst_tpu.ops.pallas_mega import (MegaStepper,
                                                  build_mega_plan,
                                                  sweep_fits)
+    from gunrockinst_tpu.graph.relabel import relabeled, reach_words_for
     n = csr.num_nodes
     if use_mega is None:
         use_mega = sweep_fits(n)
@@ -180,17 +255,30 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
     PLANES_FULL = max((n + 1).bit_length(), 1)
 
     if use_mega:
-        csc_g = csr.transposed()
+        # degree-sorted internal relabeling (graph/relabel.py): the
+        # search runs in permuted space; labels map back during
+        # extraction, outside the Enact window
+        csr_p, perm = relabeled(csr)
+        csc_g = csr_p.transposed()
         plan = build_mega_plan(csc_g.row_offsets, csc_g.col_indices, n)
         n_words = plan.n_words
         rows = n_words // 128
         impls = {}
+        reach_cache = {}
+
+        def reach_dev(psrc: int):
+            hitr = reach_cache.get(psrc)
+            if hitr is None:
+                hitr = jnp.asarray(reach_words_for(csr_p, psrc,
+                                                   n_words))
+                reach_cache[psrc] = hitr
+            return hitr
 
         def make_impl(P):
-            steppers = _make_steppers(plan, P, interp)
+            pset = _PlanSet(plan, P, interp)
 
             @jax.jit
-            def impl(src, scals, hbms):
+            def impl(src, args, reach):
                 f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
                 fw0 = pack_bitmap(f0, n_words)
                 planes0 = jnp.zeros((P * rows, 128), jnp.int32)
@@ -202,8 +290,8 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                 def body(c):
                     planes, fw, vw, depth, _ = c
                     d = depth + 1
-                    nfw, vw, planes = _chain_steps(
-                        steppers, scals, hbms, fw, vw, planes, d)
+                    nfw, vw, planes = pset.level(
+                        args, fw, vw, planes, d, reach)
                     return planes, nfw, vw, d, jnp.any(nfw != 0)
 
                 planes, fw, vw, depth, _ = jax.lax.while_loop(
@@ -211,9 +299,10 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                     (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
                 return planes, vw, depth
 
-            return impl, steppers
+            return impl, pset
 
         def run_impl(src):
+            psrc = int(src) if perm is None else int(perm[int(src)])
             # depth cap 2^P - 1: the 8-plane step covers depth <= 255
             # (every scale-free graph); deeper searches (road-network
             # diameters) lazily recompile with the full plane count.
@@ -221,14 +310,14 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                       if PLANES_FULL > 8 else (PLANES_FULL,)):
                 if P not in impls:
                     impls[P] = make_impl(P)
-                impl, steppers = impls[P]
-                planes, vw, depth = impl(
-                    src, tuple(st.hub_args for st in steppers),
-                    tuple(st.pk_args for st in steppers))
+                impl, pset = impls[P]
+                planes, vw, depth = impl(psrc, pset.args(),
+                                         reach_dev(psrc))
                 if int(depth) < (1 << P):
                     return planes, vw, int(depth), P
             return planes, vw, int(depth), P
     else:
+        perm = None
         sweeper = get_pull_sweeper_v3(csr)
         n_words = sweeper.n_words
         rows = n_words // 128
@@ -293,6 +382,9 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
             labels |= _host_unpack_words(planes_np[b], n).astype(
                 np.int32) << b
         labels[~visited] = INF32_NP
+        if perm is not None:
+            # back to input ids: the search ran in degree-sorted space
+            labels = labels[perm]
         if 0 <= int(src) < n:
             labels[int(src)] = 0
         return labels, depth, device_ms
@@ -322,6 +414,7 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
     from gunrockinst_tpu.ops.pallas_mega import (MegaStepper,
                                                  build_mega_plan,
                                                  sweep_fits)
+    from gunrockinst_tpu.graph.relabel import relabeled, reach_words_for
     import time as _time
     n = csr.num_nodes
     if not sweep_fits(n, planes):
@@ -332,15 +425,17 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
         return hit
     n_pad = ((n + 128) // 128) * 128
     interp = jax.default_backend() == "cpu"
-    csc_g = csr.transposed()
+    csr_p, perm = relabeled(csr)
+    csc_g = csr_p.transposed()
     plan = build_mega_plan(csc_g.row_offsets, csc_g.col_indices, n)
     rows = plan.n_words // 128
-    steppers = _make_steppers(plan, planes, interp)
+    pset = _PlanSet(plan, planes, interp)
     n_words = plan.n_words
 
     @jax.jit
-    def multi(scals, hbms, srcs):
-        def one(carry, s):
+    def multi(args, srcs, reach_stack):
+        def one(carry, x):
+            s, reach = x
             f0 = jnp.zeros((n_pad,), jnp.bool_).at[s].set(True)
             fw0 = pack_bitmap(f0, n_words)
             planes0 = jnp.zeros((planes * rows, 128), jnp.int32)
@@ -352,8 +447,8 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
             def body(c):
                 pl_, fw_, vw_, dep, _ = c
                 dd = dep + 1
-                nfw, vw2, pl2 = _chain_steps(steppers, scals, hbms,
-                                             fw_, vw_, pl_, dd)
+                nfw, vw2, pl2 = pset.level(args, fw_, vw_, pl_, dd,
+                                           reach)
                 return pl2, nfw, vw2, dd, jnp.any(nfw != 0)
 
             pl_, fw_, vw_, dep, _ = jax.lax.while_loop(
@@ -361,19 +456,33 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
                              jnp.bool_(True)))
             return carry + dep, (dep, vw_)
 
-        tot, (deps, vws) = jax.lax.scan(one, jnp.int32(0), srcs)
+        tot, (deps, vws) = jax.lax.scan(one, jnp.int32(0),
+                                        (srcs, reach_stack))
         return tot, deps, vws
 
     def fn(srcs):
-        srcs = jnp.asarray(np.asarray(srcs, np.int32))
+        srcs = np.asarray(srcs, np.int32)
+        psrcs = srcs if perm is None else perm[srcs]
+        reach_stack = jnp.asarray(np.stack(
+            [reach_words_for(csr_p, int(s), n_words) for s in psrcs]))
+        psrcs_d = jnp.asarray(psrcs)
         t0 = _time.perf_counter()
-        tot, deps, vws = multi(
-            tuple(st.hub_args for st in steppers),
-            tuple(st.pk_args for st in steppers), srcs)
+        tot, deps, vws = multi(pset.args(), psrcs_d, reach_stack)
         int(tot)   # scalar fetch forces the whole scan (axon quirk)
         wall_ms = (_time.perf_counter() - t0) * 1e3
         return np.asarray(deps), np.asarray(vws), wall_ms
 
+    # visited words come back in the search's (possibly degree-sorted)
+    # internal space; callers map them to input ids with this helper
+    fn.perm = perm
+
+    def visited_of(vws_row):
+        bits = np.unpackbits(
+            np.asarray(vws_row).reshape(-1).view(np.uint8),
+            bitorder="little")[:n].astype(bool)
+        return bits if perm is None else bits[perm]
+
+    fn.visited_of = visited_of
     cache[(reps, planes)] = fn
     return fn
 

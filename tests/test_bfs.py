@@ -231,3 +231,60 @@ def test_bfs_mega_disconnected_and_tiny():
     res = bfs.run(csr, 0, mark_preds=False, traversal_mode="mega")
     ref_labels, _ = bfs_reference(csr, 0)
     np.testing.assert_array_equal(res.labels, ref_labels)
+
+
+def test_bfs_mega_relabeled_interpret(monkeypatch):
+    """Round-5 degree-sorted relabeling + destination-ordered twin
+    plan: exactness of the full fused driver (labels in INPUT ids)
+    and of the multi-source dispatch under a forced permutation."""
+    monkeypatch.setenv("GT_BFS_RELABEL", "force")
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    from gunrockinst_tpu.primitives import bfs_pallas
+    csr = rmat_graph(16, 2, undirected=True, seed=23)  # fresh caches
+    from gunrockinst_tpu.graph.relabel import relabeled
+    _, perm = relabeled(csr)
+    assert perm is not None
+    for src in (0, 40000):
+        labels, _, _, _ = bfs_pallas.bfs_pallas_fused(
+            csr, src, mark_preds=False)
+        ref_labels, _ = bfs_reference(csr, src)
+        np.testing.assert_array_equal(labels, ref_labels)
+    fn = bfs_pallas.get_fused_bfs_multi(csr, reps=2)
+    srcs = np.array([5, 40000], np.int32)
+    deps, vws, _ = fn(srcs)
+    for i, s in enumerate(srcs):
+        ref_l, _ = bfs_reference(csr, int(s))
+        np.testing.assert_array_equal(fn.visited_of(vws[i]),
+                                      ref_l != INF32)
+
+
+def test_dst_order_plan_invariants():
+    """The destination-ordered twin holds the SAME subtile set with
+    rs ranges consistent with each subtile's destination region."""
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    from gunrockinst_tpu.ops import pallas_mega as pm
+    csr = rmat_graph(16, 2, undirected=True, seed=31)
+    csc = csr.transposed()
+    plan = pm.build_mega_plan(csc.row_offsets, csc.col_indices,
+                              csr.num_nodes)
+    twin, hperm, pkperm = pm.dst_order_plan(plan)
+    R = plan.n_words // (pm.ROWS_PER_REGION * 128)
+    for rs, out_row, nreal in (
+            (twin.hub_rs, twin.hub_out_row, int(plan.hub_rs[-1])),
+            (twin.pk_rs, twin.pk_out_row, int(plan.pk_rs[-1]))):
+        assert rs.shape == (R + 1,) and int(rs[-1]) == nreal
+        for r in range(R):
+            seg = out_row[int(rs[r]): int(rs[r + 1])]
+            assert np.all(seg // pm.ROWS_PER_REGION == r)
+    # permutation of the real prefix, identity on the dummy tail
+    assert np.array_equal(np.sort(hperm[:int(plan.hub_rs[-1])]),
+                          np.arange(int(plan.hub_rs[-1])))
+    assert np.array_equal(hperm[int(plan.hub_rs[-1]):],
+                          np.arange(int(plan.hub_rs[-1]),
+                                    hperm.shape[0]))
+    # metadata rows travelled with their subtiles
+    hp = hperm.astype(np.int64)
+    np.testing.assert_array_equal(twin.hub_row_base,
+                                  plan.hub_row_base[hp])
+    np.testing.assert_array_equal(
+        twin.pk_idx, plan.pk_idx[pkperm.astype(np.int64)])

@@ -145,9 +145,7 @@ def test_split_mega_plan_exact():
         deps, vws, _ = fn(srcs)
         for i, s in enumerate(srcs):
             ref_l, _ = _bfs_oracle(csr, int(s))
-            vis = np.unpackbits(
-                np.asarray(vws[i]).reshape(-1).view(np.uint8),
-                bitorder="little")[: csr.num_nodes].astype(bool)
+            vis = fn.visited_of(vws[i])
             np.testing.assert_array_equal(
                 vis, ref_l != np.iinfo(np.int32).max)
     finally:
