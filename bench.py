@@ -502,15 +502,31 @@ def secondary(csr):
             from gunrockinst_tpu.graph.csr import DeviceGraph
             # single-source BC at benchmark scale (round-3 verdict
             # weak #8: the s14 all-source line alone hid the s20
-            # single-source number)
-            g20 = DeviceGraph.build(csr, with_csc=False)
+            # single-source number).  Round 5: value-plane fast path
+            # (level-gated ADD sweeps), validated against Brandes.
             src = int(np.argmax(csr.degrees))
-            res1 = bc.run(g20, src=src)
+            try:
+                res1 = bc.run(csr, src=src, mode="planes")
+                bc_mode = "planes"
+            except Exception as e:
+                log(f"# bc planes unavailable ({e}); using xla")
+                g20 = DeviceGraph.build(csr, with_csc=False)
+                res1 = bc.run(g20, src=src)
+                bc_mode = "xla"
             rate = csr.num_edges * 2 / (res1.stats.elapsed_ms * 1e6)
-            log(f"# bc (single-source, s{SCALE}): "
+            extra = ""
+            if os.environ.get("BENCH_VALIDATE", "1") == "1":
+                from gunrockinst_tpu.oracles.centrality import (
+                    bc_reference_fast)
+                ref_bc, ref_sigma, _ = bc_reference_fast(csr, src)
+                ok = bool(np.allclose(res1.bc_values, ref_bc,
+                                      rtol=1e-3, atol=1e-6))
+                extra = f", allclose={ok}"
+                assert ok, "bc values mismatch vs Brandes"
+            log(f"# bc (single-source {bc_mode}, s{SCALE}): "
                 f"{res1.stats.elapsed_ms:.1f} ms, depth "
                 f"{res1.stats.search_depth} -> {rate:.4f} G edge/s "
-                "(fwd+bwd)")
+                f"(fwd+bwd){extra}")
             # all-source batched BC at a smaller scale (round-2 verdict
             # item 10: record the batching win as a number; s20
             # all-sources would take hours on any backend)

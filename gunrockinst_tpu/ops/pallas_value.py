@@ -134,6 +134,16 @@ class ValuePlan:
                                 # 8*(j%4)
     pk_rs: np.ndarray
     pk_w: Optional[np.ndarray]
+    # degree-sorted internal relabeling (graph/relabel.py): layout
+    # position of input vertex v is the standard position of perm[v];
+    # inv is the inverse map.  None = identity.  Round-5 measured
+    # effect at rmat-s20: subtiles 72.5K -> 50.3K (util 0.425 -> 0.613)
+    # because consecutive new ids have similar degrees and cells
+    # fatten; min-mode region skipping also concentrates late-round
+    # changed sets into edge-poor regions.  Callers convert through
+    # layout_vals / unlayout_vals / layout_words, which honor perm.
+    perm: Optional[np.ndarray] = None
+    inv: Optional[np.ndarray] = None
 
     @property
     def rows_w(self):
@@ -384,19 +394,57 @@ _unweighted_plan_cache: "weakref.WeakKeyDictionary" = \
     weakref.WeakKeyDictionary()
 
 
+def _with_perm(plan: "ValuePlan", perm) -> "ValuePlan":
+    if perm is not None:
+        plan.perm = np.asarray(perm)
+        inv = np.empty_like(plan.perm)
+        inv[plan.perm] = np.arange(plan.perm.shape[0],
+                                   dtype=plan.perm.dtype)
+        plan.inv = inv
+    return plan
+
+
+def layout_vals(plan: "ValuePlan", vals: np.ndarray) -> np.ndarray:
+    """(n,) vertex-major in INPUT ids -> word-row-major layout array,
+    honoring the plan's internal relabeling."""
+    v = np.asarray(vals)
+    if plan.perm is not None:
+        v = v[plan.inv]
+    return to_bitmajor_np(v, plan.rows_w)
+
+
+def unlayout_vals(plan: "ValuePlan", acc: np.ndarray, n: int,
+                  dtype=np.int32) -> np.ndarray:
+    """Layout array -> (n,) vertex-major in INPUT ids."""
+    out = from_bitmajor_np(acc, n, dtype)
+    return out if plan.perm is None else out[plan.perm]
+
+
+def layout_words(plan: "ValuePlan", mask: np.ndarray) -> np.ndarray:
+    """(n,) bool in INPUT ids -> (n_words/128, 128) frontier words in
+    layout space."""
+    m = np.asarray(mask)
+    if plan.perm is not None:
+        m = m[plan.inv]
+    return words_from_mask(m, plan.n_words)
+
+
 def get_unweighted_plan(csr) -> "ValuePlan":
     """Shared unweighted pull plan per CsrGraph.  SSSP-with-uniform-
     weights, PageRank, CC (when the graph is already symmetric), and
     the HITS/SALSA forward sweeps run over identical tiles, so they
     share ONE host-side build and — via the device-array cache
     ValueStepper keeps on the plan — ONE host->HBM upload (~300 MB at
-    rmat-s20 over a ~1-4 MB/s tunnel) instead of several."""
+    rmat-s20 over a ~1-4 MB/s tunnel) instead of several.  Built over
+    the degree-sorted relabeling when worthwhile (ValuePlan.perm)."""
+    from gunrockinst_tpu.graph.relabel import relabeled
     hit = _unweighted_plan_cache.get(csr)
     if hit is not None:
         return hit
-    csc = csr.transposed()
-    plan = build_value_plan(csc.row_offsets, csc.col_indices,
-                            csr.num_nodes)
+    csr_p, perm = relabeled(csr)
+    csc = csr_p.transposed()
+    plan = _with_perm(build_value_plan(csc.row_offsets, csc.col_indices,
+                                       csr.num_nodes), perm)
     _unweighted_plan_cache[csr] = plan
     return plan
 
@@ -411,17 +459,17 @@ def get_reverse_plan(csr) -> "ValuePlan":
     (gunrock/app/hits keeps both CSR and CSC for the same reason,
     hits_problem.cuh:53-58).  For symmetric graphs this IS the forward
     plan, so the build + upload + kernel compile are all shared."""
+    from gunrockinst_tpu.graph.relabel import is_symmetric, relabeled
     hit = _reverse_plan_cache.get(csr)
     if hit is not None:
         return hit
-    csc = csr.transposed()
-    if (csc.row_offsets.shape == csr.row_offsets.shape
-            and np.array_equal(csc.row_offsets, csr.row_offsets)
-            and np.array_equal(csc.col_indices, csr.col_indices)):
+    if is_symmetric(csr):
         plan = get_unweighted_plan(csr)
     else:
-        plan = build_value_plan(csr.row_offsets, csr.col_indices,
-                                csr.num_nodes)
+        csr_p, perm = relabeled(csr)
+        plan = _with_perm(
+            build_value_plan(csr_p.row_offsets, csr_p.col_indices,
+                             csr.num_nodes), perm)
     _reverse_plan_cache[csr] = plan
     return plan
 
@@ -830,22 +878,25 @@ def value_fits(plan: "ValuePlan") -> bool:
     return plan.num_subtiles * 4 <= SMEM_META_LIMIT
 
 
-def get_add_stepper(plan: "ValuePlan", interpret: bool = False
-                    ) -> "ValueStepper":
+def get_add_stepper(plan: "ValuePlan", interpret: bool = False,
+                    gated: bool = False) -> "ValueStepper":
     """f32 ADD stepper cached ON the plan: PR, HITS, SALSA and WTF all
     use the identical config (add, f32, no active gating, zero acc, no
     changed tracking), so they share one compiled kernel, one jit
-    cache, and the plan's device tile upload."""
+    cache, and the plan's device tile upload.  gated=True gathers only
+    from sources whose `ch` word bit is set (BC's per-level sigma and
+    delta sweeps: exact because the staged values are zero outside the
+    level anyway, and the region skip then prunes quiet regions)."""
     cache = getattr(plan, "_add_steppers", None)
     if cache is None:
         cache = {}
         plan._add_steppers = cache
-    st = cache.get(interpret)
+    st = cache.get((interpret, gated))
     if st is None:
-        st = ValueStepper(plan, mode="add", f32=True, use_active=False,
-                          zero_acc=True, track_changed=False,
-                          interpret=interpret)
-        cache[interpret] = st
+        st = ValueStepper(plan, mode="add", f32=True,
+                          use_active=gated, zero_acc=True,
+                          track_changed=False, interpret=interpret)
+        cache[(interpret, gated)] = st
     return st
 
 

@@ -55,3 +55,40 @@ def bc_reference(csr: CsrGraph, src: int = -1):
                 bc[u] += delta[u]
         sigmas, labels = sigma, dist
     return ((bc * 0.5).astype(np.float32), sigmas.astype(np.float32), labels)
+
+
+def bc_reference_fast(csr: CsrGraph, src: int):
+    """Vectorized single-source Brandes (NumPy bincount per level) for
+    large-scale validation — same math as bc_reference, O(depth * m)
+    array passes instead of Python edge loops.  Returns (bc_values
+    f32 halved, sigma f32, labels i32 with -1 for unreached)."""
+    n, m = csr.num_nodes, csr.num_edges
+    esrc = np.repeat(np.arange(n, dtype=np.int64),
+                     np.diff(csr.row_offsets))
+    edst = csr.col_indices.astype(np.int64)
+    labels = np.full(n, -1, np.int64)
+    sigma = np.zeros(n, np.float64)
+    labels[src] = 0
+    sigma[src] = 1.0
+    d = 0
+    while True:
+        tree = (labels[esrc] == d) & (labels[edst] < 0)
+        if not tree.any():
+            break
+        touched = np.unique(edst[tree])
+        labels[touched] = d + 1
+        # now labels[edst]==d+1 exactly for this level's tree edges
+        te = (labels[esrc] == d) & (labels[edst] == d + 1)
+        sigma += np.bincount(edst[te], weights=sigma[esrc[te]],
+                             minlength=n)
+        d += 1
+    delta = np.zeros(n, np.float64)
+    inv_sigma = np.where(sigma > 0, 1.0 / np.maximum(sigma, 1e-300), 0.0)
+    for dd in range(d, 0, -1):
+        te = (labels[esrc] == dd - 1) & (labels[edst] == dd)
+        contrib = sigma[esrc[te]] * inv_sigma[edst[te]] * (
+            1.0 + delta[edst[te]])
+        delta += np.bincount(esrc[te], weights=contrib, minlength=n)
+    delta[src] = 0.0
+    return ((delta * 0.5).astype(np.float32), sigma.astype(np.float32),
+            labels.astype(np.int32))

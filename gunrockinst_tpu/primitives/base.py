@@ -54,8 +54,11 @@ class Stats:
         (deterministic combines never enqueue duplicates)."""
         if self.edges_visited == 0 or self.total_queued == 0:
             return 0.0
-        return (100.0 * (self.total_queued - self.edges_visited)
-                / self.edges_visited)
+        # vertex-granular queues (the Stepped* INST paths) can be
+        # smaller than the edge count; redundancy is then simply zero
+        # (deterministic combines never enqueue duplicates)
+        return max(0.0, 100.0 * (self.total_queued - self.edges_visited)
+                   / self.edges_visited)
 
     def display(self, name: str) -> str:
         """Print the reference's full metric block (app/bfs/

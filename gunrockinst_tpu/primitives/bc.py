@@ -181,6 +181,172 @@ def _auto_batch(g: DeviceGraph) -> int:
     return 1 << min(max(k.bit_length() - 1, 0), 7)
 
 
+import time as _time
+import weakref
+
+_planes_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def get_bc_planes(csr, interpret=None, level_cap: int = 64):
+    """Single-source Brandes over the value-plane ADD kernel (round-4
+    verdict item 3: the XLA full-edge gathers/scatters path took 16.4 s
+    at rmat-s20 on a backend measured 10-100x off roofline).
+
+    Forward: one LEVEL-GATED pull-ADD sweep per level accumulates
+    sigma into the next level (contrib[v] = sum of sigma over frontier
+    in-neighbors; the nonzero pattern of contrib IS the touched set,
+    so BFS labels fall out of the same sweep).  Backward: one gated
+    reverse-plan ADD sweep per level, deepest first, accumulates the
+    dependency sum t[u] = sum over level-(d+1) out-neighbors of
+    (1+delta)/sigma, then delta[u at level d] += sigma[u] * t[u] —
+    exactly BackwardFunctor's per-edge term
+    (gunrock/app/bc/bc_functor.cuh:147-253) with the level replay the
+    reference drives from forward_queue_offsets
+    (bc_enactor.cuh:260-390) driven here by the recorded level words.
+    Both sweeps ride the shared plans/kernels of pr/sssp/cc planes;
+    level gating makes each sweep cost ~ the edges adjacent to that
+    level's regions (use_active + region skip).
+
+    Returns fn(src) -> (delta, sigma, labels (all (n,) input ids),
+    depth, device_ms)."""
+    from gunrockinst_tpu.ops.pallas_value import (
+        get_add_stepper, get_reverse_plan, get_unweighted_plan,
+        layout_vals, layout_words, unlayout_vals)
+
+    hit = _planes_cache.get(csr)
+    if hit is not None:
+        return hit
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    n = csr.num_nodes
+    plan_f = get_unweighted_plan(csr)
+    plan_r = get_reverse_plan(csr)
+    st_f = get_add_stepper(plan_f, interpret, gated=True)
+    st_r = get_add_stepper(plan_r, interpret, gated=True)
+    rows_w = plan_f.rows_w
+    iota32 = jnp.arange(32, dtype=jnp.int32)
+
+    def words_of_nonzero(arr):
+        """layout f32 (32*rows_w,128) -> (rows_w,128) word bitmap of
+        nonzero entries (word-row-major: rows r*32+g pack over the
+        32-row minor group, same fold as pr planes)."""
+        b = (arr != 0.0).astype(jnp.int32).reshape(rows_w, 32, 128)
+        return jnp.sum(b << iota32[None, :, None], axis=1)
+
+    def expand_words(w):
+        """(rows_w,128) words -> layout f32 0/1 mask."""
+        bits = (w[:, None, :] >> iota32[None, :, None]) & 1
+        return bits.reshape(32 * rows_w, 128).astype(jnp.float32)
+
+    def as_bits(x):
+        return jax.lax.bitcast_convert_type(x, jnp.int32)
+
+    def as_f32(x):
+        return jax.lax.bitcast_convert_type(x, jnp.float32)
+
+    impls = {}
+
+    def make_impl(cap: int):
+        @jax.jit
+        def program(sf, hf, sr, hr, x0, f0w):
+            z = jnp.zeros((32 * rows_w, 128), jnp.float32)
+            lvl0 = jnp.zeros((cap, rows_w, 128), jnp.int32)
+            lvl0 = lvl0.at[0].set(f0w)
+
+            # ---- forward: sigma + level words ----
+            def fcond(c):
+                sigma, x, fw, vw, lvl, d, cont = c
+                return cont & (d + 1 < cap)
+
+            def fbody(c):
+                sigma, x, fw, vw, lvl, d, _ = c
+                contrib = as_f32(st_f.step_with(sf, hf, as_bits(x),
+                                                fw)[0])
+                tw = words_of_nonzero(contrib)
+                nfw = tw & ~vw
+                nm = expand_words(nfw)
+                sigma = sigma + contrib * nm
+                x = contrib * nm
+                vw = vw | nfw
+                lvl = jax.lax.dynamic_update_slice(
+                    lvl, nfw[None], (d + 1, 0, 0))
+                return (sigma, x, nfw, vw, lvl, d + 1,
+                        jnp.any(nfw != 0))
+
+            sigma, _, _, vw, lvl, depth, cont = jax.lax.while_loop(
+                fcond, fbody, (x0, x0, f0w, f0w, lvl0, jnp.int32(0),
+                               jnp.bool_(True)))
+            depth = depth - jnp.int32(~cont)  # last level was empty
+
+            # ---- backward: delta, deepest level first ----
+            inv_sigma = jnp.where(sigma > 0.0,
+                                  1.0 / jnp.where(sigma > 0.0, sigma,
+                                                  1.0), 0.0)
+
+            def bbody(i, delta):
+                dd = depth - i          # child level, from depth .. 1
+                cw = jax.lax.dynamic_slice(
+                    lvl, (dd, 0, 0), (1, rows_w, 128))[0]
+                y = expand_words(cw) * (1.0 + delta) * inv_sigma
+                t = as_f32(st_r.step_with(sr, hr, as_bits(y), cw)[0])
+                pw = jax.lax.dynamic_slice(
+                    lvl, (dd - 1, 0, 0), (1, rows_w, 128))[0]
+                return delta + expand_words(pw) * sigma * t
+
+            delta = jax.lax.fori_loop(0, jnp.maximum(depth, 0), bbody,
+                                      z)
+            return delta, sigma, lvl, depth
+
+        return program
+
+    def fn(src):
+        ls = int(src) if plan_f.perm is None else int(plan_f.perm[src])
+        chm = np.zeros(n, bool)
+        chm[int(src)] = True
+        f0w = jnp.asarray(layout_words(plan_f, chm))
+        x0_np = np.zeros(n, np.float32)
+        x0_np[int(src)] = 1.0
+        x0 = as_f32(jnp.asarray(layout_vals(plan_f, x0_np)))
+        cap = level_cap
+        while True:
+            if cap not in impls:
+                impls[cap] = make_impl(cap)
+            program = impls[cap]
+            t0 = _time.perf_counter()
+            delta, sigma, lvl, depth = program(
+                st_f.scal_args, st_f.hbm_args, st_r.scal_args,
+                st_r.hbm_args, x0, f0w)
+            depth = int(depth)   # scalar fetch forces completion
+            device_ms = (_time.perf_counter() - t0) * 1e3
+            if depth + 1 < cap:
+                break
+            cap = max(cap * 4, 256)   # deep graph: recompile higher
+        delta_np = unlayout_vals(plan_f, np.asarray(as_bits(delta)), n,
+                                 np.float32)
+        sigma_np = unlayout_vals(plan_f, np.asarray(as_bits(sigma)), n,
+                                 np.float32)
+        # labels from the recorded level words (extraction, outside
+        # the Enact window)
+        lvl_np = np.asarray(lvl[: depth + 1])
+        labels = np.full(n, INF32_NP, np.int32)
+        for d in range(depth + 1):
+            bits = np.unpackbits(
+                lvl_np[d].reshape(-1).view(np.uint8),
+                bitorder="little")[:n].astype(bool)
+            labels[bits] = d
+        if plan_f.perm is not None:
+            labels = labels[plan_f.perm]
+        labels[int(src)] = 0
+        delta_np[int(src)] = 0.0
+        return delta_np, sigma_np, labels, depth, device_ms
+
+    _planes_cache[csr] = fn
+    return fn
+
+
+INF32_NP = np.iinfo(np.int32).max
+
+
 @dataclasses.dataclass
 class BcResult:
     bc_values: np.ndarray
@@ -190,12 +356,28 @@ class BcResult:
 
 
 def run(graph: GraphLike, src: int = -1,
-        batch: Optional[int] = None) -> BcResult:
+        batch: Optional[int] = None, mode: str = "xla") -> BcResult:
     """Host entry. src >= 0: single-source accumulation (the reference
     enactor is per-source; its test loops sources); src == -1: all
     sources, computed `batch` sources per kernel call (auto-sized to
     the graph when None).  sigmas/labels in the result are those of the
-    last source, matching the reference test's convention."""
+    last source, matching the reference test's convention.
+    mode="planes" (src >= 0 only) rides the value-plane ADD kernel —
+    get_bc_planes."""
+    if mode == "planes":
+        from gunrockinst_tpu.graph.csr import CsrGraph
+        if not isinstance(graph, CsrGraph):
+            raise TypeError("mode='planes' needs a host CsrGraph")
+        if src < 0:
+            raise ValueError("mode='planes' is single-source")
+        fn = get_bc_planes(graph)
+        fn(src)   # warm-up/compile
+        delta, sigma, labels, depth, device_ms = fn(src)
+        stats = Stats(elapsed_ms=device_ms, search_depth=depth,
+                      nodes_visited=graph.num_nodes,
+                      edges_visited=graph.num_edges)
+        return BcResult(bc_values=(delta * 0.5).astype(np.float32),
+                        sigmas=sigma, labels=labels, stats=stats)
     g = device_graph(graph)
     if src >= 0:
         out = bc_source_kernel(g, src)   # warm

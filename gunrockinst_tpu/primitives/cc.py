@@ -77,8 +77,9 @@ def get_cc_planes(csr, interpret=None):
     from gunrockinst_tpu.graph.coo import CooGraph
     from gunrockinst_tpu.graph.csr import CsrGraph
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, build_value_plan, get_unweighted_plan,
-        to_bitmajor_np, from_bitmajor_np, words_from_mask)
+        ValueStepper, _with_perm, build_value_plan,
+        get_unweighted_plan, layout_vals, layout_words, unlayout_vals)
+    from gunrockinst_tpu.graph.relabel import relabeled
 
     hit = _planes_cache.get(csr)
     if hit is not None:
@@ -99,15 +100,21 @@ def get_cc_planes(csr, interpret=None):
         # its one-time ~300 MB tunnel upload) with sssp/pr planes
         plan = get_unweighted_plan(csr)
     else:
-        ucsc = und.transposed()
-        plan = build_value_plan(ucsc.row_offsets, ucsc.col_indices, n)
+        und_p, uperm = relabeled(und)
+        ucsc = und_p.transposed()
+        plan = _with_perm(
+            build_value_plan(ucsc.row_offsets, ucsc.col_indices, n),
+            uperm)
     stepper = ValueStepper(plan, mode="min", f32=False,
                            use_active=True, interpret=interpret)
     rows_w = plan.rows_w
     # pad vertices (>= n) have no edges: never gathered (their changed
     # bits stay 0), never written — init value is irrelevant
-    comp0_np = to_bitmajor_np(np.arange(n, dtype=np.int32), rows_w)
-    ch0_np = words_from_mask(np.ones(n, bool), plan.n_words)
+    # min-label propagation runs over ORIGINAL vertex ids staged into
+    # layout positions, so the component representatives (min input id)
+    # are unchanged by the plan's internal degree relabeling
+    comp0_np = layout_vals(plan, np.arange(n, dtype=np.int32))
+    ch0_np = layout_words(plan, np.ones(n, bool))
     limit = n + 2
 
     @jax.jit
@@ -133,7 +140,7 @@ def get_cc_planes(csr, interpret=None):
         acc, it = loop(stepper.scal_args, stepper.hbm_args, acc0, ch0)
         it = int(it)   # scalar fetch forces completion (axon quirk)
         device_ms = (_time.perf_counter() - t0) * 1e3
-        comp = from_bitmajor_np(np.asarray(acc), n)
+        comp = unlayout_vals(plan, np.asarray(acc), n)
         return comp, it, device_ms
 
     _planes_cache[csr] = fn

@@ -77,7 +77,7 @@ def get_hits_planes(csr, interpret=None):
     import functools
     from gunrockinst_tpu.ops.pallas_value import (
         get_add_stepper, get_reverse_plan, get_unweighted_plan,
-        to_bitmajor_np, from_bitmajor_np)
+        layout_vals, unlayout_vals)
 
     hit = _planes_cache.get(csr)
     if hit is not None:
@@ -96,7 +96,7 @@ def get_hits_planes(csr, interpret=None):
 
     def stage_f32(v):
         return jax.lax.bitcast_convert_type(
-            jnp.asarray(to_bitmajor_np(v.astype(np.float32), rows_w)),
+            jnp.asarray(layout_vals(plan_f, v.astype(np.float32))),
             jnp.float32)
 
     inv_so = stage_f32(1.0 / np.maximum(outdeg, 1))
@@ -136,9 +136,9 @@ def get_hits_planes(csr, interpret=None):
         float(hub_bm[0, 0])   # scalar fetch forces the loop (axon)
         device_ms = (_time.perf_counter() - t0) * 1e3
         # extraction outside the Enact window (reference convention)
-        hub = from_bitmajor_np(np.asarray(as_bits(hub_bm)), n,
+        hub = unlayout_vals(plan_f, np.asarray(as_bits(hub_bm)), n,
                                np.float32)
-        auth = from_bitmajor_np(np.asarray(as_bits(auth_bm)), n,
+        auth = unlayout_vals(plan_f, np.asarray(as_bits(auth_bm)), n,
                                 np.float32)
         return hub, auth, device_ms
 

@@ -180,8 +180,7 @@ def get_pr_planes(csr, interpret=None):
     Returns fn(delta, threshold, src, max_iter) -> (ranks, it, ms)."""
     from gunrockinst_tpu.oracles.ranking import remove_dangling_degrees
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, get_unweighted_plan, to_bitmajor_np,
-        from_bitmajor_np)
+        ValueStepper, get_unweighted_plan, layout_vals, unlayout_vals)
 
     hit = _planes_pr_cache.get(csr)
     if hit is not None:
@@ -199,7 +198,7 @@ def get_pr_planes(csr, interpret=None):
 
     def stage_f32(v):
         return jax.lax.bitcast_convert_type(
-            jnp.asarray(to_bitmajor_np(v, rows_w)), jnp.float32)
+            jnp.asarray(layout_vals(plan, v)), jnp.float32)
 
     deg_bm = stage_f32(np.maximum(deg_np, 1.0))
     live_bm = stage_f32((deg_np > 0).astype(np.float32))
@@ -251,7 +250,7 @@ def get_pr_planes(csr, interpret=None):
         it = int(it)   # scalar fetch forces completion (axon quirk)
         device_ms = (time.perf_counter() - t0) * 1e3
         acc = jax.lax.bitcast_convert_type(rank_bm, jnp.int32)
-        ranks = from_bitmajor_np(np.asarray(acc), n, np.float32)
+        ranks = unlayout_vals(plan, np.asarray(acc), n, np.float32)
         return ranks, it, device_ms
 
     _planes_pr_cache[csr] = fn

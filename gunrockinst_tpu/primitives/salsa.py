@@ -82,7 +82,7 @@ def get_salsa_planes(csr, interpret=None):
     import functools
     from gunrockinst_tpu.ops.pallas_value import (
         get_add_stepper, get_reverse_plan, get_unweighted_plan,
-        to_bitmajor_np, from_bitmajor_np)
+        layout_vals, unlayout_vals)
 
     hit = _planes_cache.get(csr)
     if hit is not None:
@@ -103,7 +103,7 @@ def get_salsa_planes(csr, interpret=None):
 
     def stage_f32(v):
         return jax.lax.bitcast_convert_type(
-            jnp.asarray(to_bitmajor_np(v.astype(np.float32), rows_w)),
+            jnp.asarray(layout_vals(plan_f, v.astype(np.float32))),
             jnp.float32)
 
     inv_so = stage_f32(1.0 / np.maximum(outdeg, 1))
@@ -146,9 +146,9 @@ def get_salsa_planes(csr, interpret=None):
                                st_r.scal_args, st_r.hbm_args, max_iter)
         float(hub_bm[0, 0])   # scalar fetch forces the loop (axon)
         device_ms = (_time.perf_counter() - t0) * 1e3
-        hub = from_bitmajor_np(np.asarray(as_bits(hub_bm)), n,
+        hub = unlayout_vals(plan_f, np.asarray(as_bits(hub_bm)), n,
                                np.float32)
-        auth = from_bitmajor_np(np.asarray(as_bits(auth_bm)), n,
+        auth = unlayout_vals(plan_f, np.asarray(as_bits(auth_bm)), n,
                                 np.float32)
         return hub, auth, device_ms
 

@@ -167,9 +167,10 @@ def get_sssp_planes(csr, interpret=None):
     import jax
     import jax.numpy as jnp
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, build_value_plan, get_unweighted_plan,
-        to_bitmajor_np, from_bitmajor_np, words_from_mask,
+        ValueStepper, _with_perm, build_value_plan,
+        get_unweighted_plan, layout_words, unlayout_vals,
         bitmajor_fill_np)
+    from gunrockinst_tpu.graph.relabel import relabeled
 
     hit = _planes_cache.get(csr)
     if hit is not None:
@@ -177,7 +178,8 @@ def get_sssp_planes(csr, interpret=None):
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     n = csr.num_nodes
-    csc = csr.transposed()
+    csr_p, _rperm = relabeled(csr)
+    csc = csr_p.transposed()
     w = (csc.edge_values.astype(np.float32)
          if csc.edge_values is not None
          else np.ones(csc.col_indices.shape[0], np.float32))
@@ -190,8 +192,9 @@ def get_sssp_planes(csr, interpret=None):
         plan = get_unweighted_plan(csr)   # shared with pr/cc planes
         const_w = float(w.flat[0]) if w.size else 1.0
     else:
-        plan = build_value_plan(csc.row_offsets, csc.col_indices, n,
-                                weights=w)
+        plan = _with_perm(
+            build_value_plan(csc.row_offsets, csc.col_indices, n,
+                             weights=w), _rperm)
         const_w = None
     stepper = ValueStepper(plan, mode="min", f32=True,
                            use_active=True, const_w=const_w,
@@ -218,17 +221,19 @@ def get_sssp_planes(csr, interpret=None):
     def fn(src):
         # source staging: dist[src]=0.0 in word-row-major layout
         # (vertex v lives at row (v//4096)*32 + (v%32),
-        #  lane (v//32)%128; 0.0f bits == 0)
-        acc0 = inf_acc.at[(src // 4096) * 32 + (src % 32),
-                          (src // 32) % 128].set(0)
+        #  lane (v//32)%128; 0.0f bits == 0) — in LAYOUT ids, i.e.
+        # after the plan's internal degree relabeling
+        ls = int(src) if plan.perm is None else int(plan.perm[src])
+        acc0 = inf_acc.at[(ls // 4096) * 32 + (ls % 32),
+                          (ls // 32) % 128].set(0)
         chm = np.zeros(n, bool)
         chm[src] = True
-        ch0 = jnp.asarray(words_from_mask(chm, plan.n_words))
+        ch0 = jnp.asarray(layout_words(plan, chm))
         t0 = _time.perf_counter()
         acc, it = loop(stepper.scal_args, stepper.hbm_args, acc0, ch0)
         it = int(it)   # scalar fetch forces completion (axon quirk)
         device_ms = (_time.perf_counter() - t0) * 1e3
-        dist = from_bitmajor_np(np.asarray(acc), n, np.float32)
+        dist = unlayout_vals(plan, np.asarray(acc), n, np.float32)
         return dist, it, device_ms
 
     _planes_cache[csr] = fn

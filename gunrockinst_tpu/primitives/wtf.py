@@ -77,7 +77,7 @@ def get_wtf_planes(csr, interpret=None):
     from gunrockinst_tpu.graph.csr import CsrGraph
     from gunrockinst_tpu.ops.pallas_value import (
         get_add_stepper, get_reverse_plan, get_unweighted_plan,
-        to_bitmajor_np, from_bitmajor_np)
+        layout_vals, unlayout_vals)
     from gunrockinst_tpu.primitives.pr import get_pr_planes
 
     hit = _planes_cache.get(csr)
@@ -97,7 +97,7 @@ def get_wtf_planes(csr, interpret=None):
 
     def stage_f32(v):
         return jax.lax.bitcast_convert_type(
-            jnp.asarray(to_bitmajor_np(v.astype(np.float32), rows_w)),
+            jnp.asarray(layout_vals(plan_f, v.astype(np.float32))),
             jnp.float32)
 
     inv_so = stage_f32(1.0 / np.maximum(outdeg, 1))
@@ -164,8 +164,8 @@ def get_wtf_planes(csr, interpret=None):
         float(rank_bm[0, 0])   # scalar fetch forces the loop (axon)
         t3 = _time.perf_counter()
         device_ms = (t3 - t0) * 1e3
-        rank = from_bitmajor_np(np.asarray(as_bits(rank_bm)), n,
-                                np.float32)
+        rank = unlayout_vals(plan_f, np.asarray(as_bits(rank_bm)), n,
+                             np.float32)
         # per-phase wall breakdown (round-4 verdict weak #4: the WTF
         # total alone gave no signal which phase to attack)
         phases = {"ppr_ms": (t1 - t0) * 1e3, "ppr_iters": int(ppr_iters),

@@ -264,3 +264,77 @@ def test_value_kernel_randomized_modes():
             got_ch = mask_from_words(np.asarray(ch), n)
             np.testing.assert_array_equal(got_ch, exp < dist)
             dist, changed = exp, exp < dist
+
+
+def test_planes_relabeled_exactness(monkeypatch):
+    """Round-5: planes modes over the degree-sorted internal
+    relabeling (ValuePlan.perm) must return results in INPUT ids —
+    sssp distances bitwise, cc representatives (min input id), pr and
+    hits ranks allclose, wtf ranks allclose."""
+    monkeypatch.setenv("GT_BFS_RELABEL", "force")
+    from gunrockinst_tpu.primitives import cc, hits, pr, sssp
+    from gunrockinst_tpu.oracles import (cc_reference, hits_reference,
+                                         pagerank_reference,
+                                         sssp_reference)
+    csr = _graph(700, 5000, 77, weights=True, undirected=True)
+    from gunrockinst_tpu.ops.pallas_value import get_unweighted_plan
+    assert get_unweighted_plan(csr).perm is not None
+
+    res = sssp.run(csr, 0, mode="planes", mark_preds=False)
+    ref_d, _ = sssp_reference(csr, 0)
+    np.testing.assert_array_equal(res.dist, ref_d)
+
+    rc = cc.run(csr, mode="planes")
+    np.testing.assert_array_equal(rc.component_ids, cc_reference(csr))
+
+    rp = pr.run(csr, max_iter=8, mode="planes")
+    np.testing.assert_allclose(
+        rp.ranks, pagerank_reference(csr, max_iter=8),
+        rtol=1e-4, atol=1e-6)
+
+    rh = hits.run(csr, src=2, max_iter=6, mode="planes")
+    ref_hub, ref_auth = hits_reference(csr, 2, max_iter=6)
+    np.testing.assert_allclose(rh.hub_ranks, ref_hub, rtol=1e-4,
+                               atol=1e-6)
+    np.testing.assert_allclose(rh.auth_ranks, ref_auth, rtol=1e-4,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("force_relabel", [False, True])
+def test_bc_planes_exactness(monkeypatch, force_relabel):
+    """Round-5 BC fast path: level-gated value-plane sweeps must match
+    Brandes (values allclose, sigma and labels exact), with and
+    without the internal degree relabeling."""
+    if force_relabel:
+        monkeypatch.setenv("GT_BFS_RELABEL", "force")
+    from gunrockinst_tpu.primitives import bc
+    from gunrockinst_tpu.oracles import bc_reference
+    csr = _graph(600, 4500, 13 + force_relabel, weights=False,
+                 undirected=True)
+    for src in (0, 99):
+        res = bc.run(csr, src=src, mode="planes")
+        ref_bc, ref_sigma, ref_labels = bc_reference(csr, src)
+        np.testing.assert_allclose(res.bc_values, ref_bc, rtol=1e-4,
+                                   atol=1e-6)
+        np.testing.assert_array_equal(res.sigmas, ref_sigma)
+        got = np.where(res.labels == np.iinfo(np.int32).max, -1,
+                       res.labels)
+        np.testing.assert_array_equal(got, ref_labels)
+
+
+def test_bc_planes_disconnected():
+    """Unreached vertices: sigma 0, label INF, delta 0."""
+    from gunrockinst_tpu.primitives import bc
+    from gunrockinst_tpu.oracles import bc_reference
+    u = np.array([0, 1, 2, 4], dtype=np.int64)
+    v = np.array([1, 2, 3, 5], dtype=np.int64)
+    uu = np.concatenate([u, v]); vv = np.concatenate([v, u])
+    csr = CsrGraph.from_coo(CooGraph(6, uu, vv, None))
+    res = bc.run(csr, src=0, mode="planes")
+    ref_bc, ref_sigma, ref_labels = bc_reference(csr, 0)
+    np.testing.assert_allclose(res.bc_values, ref_bc, rtol=1e-5,
+                               atol=1e-7)
+    got = np.where(res.labels == np.iinfo(np.int32).max, -1,
+                   res.labels)   # oracle marks unreached with -1
+    np.testing.assert_array_equal(got, ref_labels)
+    assert np.all(res.sigmas[ref_labels < 0] == 0)
