@@ -218,7 +218,63 @@ def main():
             log("# grid line skipped: budget expired")
         except Exception as e:
             log(f"# grid line failed: {e}")
+
+    # ---- market-pipeline line (round-4 verdict missing #4): a
+    # soc-LiveJournal1-scale .mtx (generated once and cached — the
+    # bench environment has no network; LJ itself is 4.8M nodes / 69M
+    # directed edges), parsed by the NATIVE mmap parser every run,
+    # built, and pushed through the BFS headline path with per-search
+    # oracle asserts.  Runs after the s22 line so the R=128 mega
+    # kernel artifact is warm (same vertex count -> same shapes). ----
+    if os.environ.get("BENCH_MARKET", "1") == "1":
+        try:
+            with _Budget(int(os.environ.get("BENCH_MARKET_BUDGET_S",
+                                            "2700"))):
+                market_line()
+        except _Budget.Expired:
+            log("# market line skipped: budget expired")
+        except Exception as e:
+            log(f"# market line failed: {e}")
     return 0
+
+
+def market_line():
+    """Exercise the IO layer at scale on the real chip: .mtx ->
+    native parse -> CSR build -> mega BFS, exact-checked."""
+    import time as _t
+    import numpy as np
+    from gunrockinst_tpu.graph.market import load_market
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+
+    scale = int(os.environ.get("BENCH_MARKET_SCALE", "22"))
+    ef = int(os.environ.get("BENCH_MARKET_EF", "8"))
+    os.makedirs(CACHE, exist_ok=True)
+    path = os.path.join(CACHE, f"market_s{scale}ef{ef}.mtx")
+    if not os.path.exists(path):
+        t0 = _t.time()
+        csr = rmat_graph(scale, ef, undirected=True, seed=7,
+                         cache_dir=CACHE)
+        n = csr.num_nodes
+        esrc = np.repeat(np.arange(n, dtype=np.int64),
+                         np.diff(csr.row_offsets))
+        edst = csr.col_indices.astype(np.int64)
+        keep = esrc < edst           # one line per undirected pair
+        u, v = esrc[keep] + 1, edst[keep] + 1
+        import pandas as pd
+        with open(path, "w") as f:
+            f.write("%%MatrixMarket matrix coordinate pattern "
+                    "symmetric\n")
+            f.write(f"{n} {n} {u.shape[0]}\n")
+            pd.DataFrame({"a": u, "b": v}).to_csv(
+                f, sep=" ", header=False, index=False)
+        log(f"# market file generated: {path} "
+            f"({os.path.getsize(path) >> 20} MiB, "
+            f"{_t.time()-t0:.0f}s, one-time)")
+    t0 = _t.time()
+    g = load_market(path, use_cache=False)   # full parse every run
+    log(f"# market parse+build: {_t.time()-t0:.1f}s (native mmap "
+        f"parser) -> {g.num_nodes} nodes, {g.num_edges} edges")
+    bfs_line_for(g, f"market:rmat-s{scale}ef{ef}", multi_k=8)
 
 
 def bfs_line_for(gcsr, name, multi_k: int = 0):

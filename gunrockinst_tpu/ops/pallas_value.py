@@ -144,6 +144,16 @@ class ValuePlan:
     # layout_vals / unlayout_vals / layout_words, which honor perm.
     perm: Optional[np.ndarray] = None
     inv: Optional[np.ndarray] = None
+    # hub tiles class-placed: every hub slot sits at sublane
+    # low3(src & 31), so the value gather is 4 direct (8,128) takes
+    # instead of the 32-step select tree.  Unlike the BFS hub
+    # class-placement (DOA, pallas_mega.py:120-126 — that class was
+    # the frontier ROW, capacity 128/tile, badly skewed), this class
+    # is position-in-word mod 8: per-tile capacity is 128 PER CLASS
+    # and cell class mixes are near-uniform, so utilization is
+    # essentially unchanged (measured at s20: hub subtiles 22368 ->
+    # 22496, +0.6%).
+    hub_classed: bool = True
 
     @property
     def rows_w(self):
@@ -209,18 +219,41 @@ def build_value_plan(adj_row_offsets: np.ndarray,
             wv = None
         return pv, wv
 
-    # ---------------- hub flavor ----------------
+    # ---------------- hub flavor (class-placed) ----------------
+    # every slot sits at sublane low3(src & 31): the kernel's value
+    # gather becomes 4 direct takes (ValuePlan.hub_classed).  Tiles
+    # take up to 128 edges PER CLASS from the cell's class buckets, so
+    # a tile is short only when the cell's remaining class mix is
+    # skewed — near-uniform in practice (class = src mod 8 within the
+    # word, uncorrelated with degree even after relabeling).
     hub_cell = cell_count >= HUB_T
     hub_tiles_list, hub_w_list, hub_meta = [], [], []
     for c in np.nonzero(hub_cell)[0]:
         s, cnt = int(cell_start[c]), int(cell_count[c])
         w = int(cell_word[c])
         q = int(cell_region[c])
-        for off in range(0, cnt, TILE_E):
-            take = min(TILE_E, cnt - off)
-            pv, wv = take_edges(s + off, take, TILE_E)
-            hub_tiles_list.append(pv.reshape(8, 128))
-            hub_w_list.append(wv.reshape(8, 128) if has_w else None)
+        pv_all = packed_val[s: s + cnt]
+        cls = (pv_all & 7).astype(np.int64)
+        order = np.argsort(cls, kind="stable")
+        pv_all = pv_all[order]
+        wv_all = wsorted[s: s + cnt][order] if has_w else None
+        bounds = np.searchsorted(cls[order], np.arange(9))
+        ptr = bounds[:8].copy()
+        remaining = cnt
+        while remaining > 0:
+            tile = np.full((8, 128), DUMMY_PACKED, np.int64)
+            wtile = np.zeros((8, 128), np.int32) if has_w else None
+            for cc in range(8):
+                take = min(128, int(bounds[cc + 1] - ptr[cc]))
+                if take > 0:
+                    tile[cc, :take] = pv_all[ptr[cc]: ptr[cc] + take]
+                    if has_w:
+                        wtile[cc, :take] = wv_all[ptr[cc]:
+                                                  ptr[cc] + take]
+                    ptr[cc] += take
+                    remaining -= take
+            hub_tiles_list.append(tile)
+            hub_w_list.append(wtile)
             hub_meta.append((q, w // 128, w % 128))
 
     # ---------------- packed flavor ----------------
@@ -531,7 +564,8 @@ def bitmajor_fill_np(value, rows_w: int) -> np.ndarray:
 
 def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                        has_w: bool, use_active: bool, zero_acc: bool,
-                       track_changed: bool, const_w=None):
+                       track_changed: bool, const_w=None,
+                       hub_classed: bool = True):
     """One comb sweep per pallas call.  See module docstring."""
     assert mode in ("min", "add")
     is_min = mode == "min"
@@ -590,6 +624,22 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             cp2.wait()
         chout_ref[:] = jnp.zeros_like(chout_ref)
 
+        def _finish_candidate(src, vbits, wtile, q, lane, gsrc):
+            v = as_val(vbits)
+            if has_w:
+                v = v + as_val(wtile)
+            elif const_w is not None:
+                v = v + (jnp.float32(const_w) if f32
+                         else jnp.int32(const_w))
+            if use_active:
+                crow = jnp.broadcast_to(
+                    ch_ref[pl.ds(q, 1), :], (8, 128))
+                cw = jnp.take_along_axis(crow, lane, axis=1)
+                a = (cw >> gsrc) & 1
+                v = jnp.where(a == 1, v, IDENT)
+            # padding slots carry src == SRC_MASK (no real vertex)
+            return jnp.where(src == SRC_MASK, IDENT, v)
+
         def candidate(packed, wtile, q):
             src = packed & SRC_MASK
             shift = packed >> SHIFT_BITS
@@ -604,21 +654,28 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
                 vbits = jnp.where(
                     gsrc == gs,
                     jnp.take_along_axis(rw, lane, axis=1), vbits)
-            v = as_val(vbits)
-            if has_w:
-                v = v + as_val(wtile)
-            elif const_w is not None:
-                v = v + (jnp.float32(const_w) if f32
-                         else jnp.int32(const_w))
-            if use_active:
-                crow = jnp.broadcast_to(
-                    ch_ref[pl.ds(q, 1), :], (8, 128))
-                cw = jnp.take_along_axis(crow, lane, axis=1)
-                a = (cw >> gsrc) & 1
-                v = jnp.where(a == 1, v, IDENT)
-            # padding slots carry src == SRC_MASK (no real vertex)
-            cand = jnp.where(src == SRC_MASK, IDENT, v)
-            return cand, shift
+            return _finish_candidate(src, vbits, wtile, q, lane,
+                                     gsrc), shift
+
+        def candidate_classed(packed, wtile, q):
+            """Class-placed tiles (slot sublane == low3(src & 31)):
+            rows q*32+8k..+8 of the value plane ARE the (8,128)
+            operand for the k-th take — 4 direct takes replace the
+            32-step tree."""
+            src = packed & SRC_MASK
+            shift = packed >> SHIFT_BITS
+            lane = (src >> 5) & 127
+            hi2 = (src >> 3) & 3
+            vbits = jnp.zeros((8, 128), jnp.int32)
+            for k in range(4):
+                op = vals[pl.ds(q * 32 + 8 * k, 8), :]
+                vbits = jnp.where(
+                    hi2 == k,
+                    jnp.take_along_axis(op, lane, axis=1), vbits)
+            gsrc = (hi2 << 3) | jax.lax.broadcasted_iota(
+                jnp.int32, (8, 128), 0)
+            return _finish_candidate(src, vbits, wtile, q, lane,
+                                     gsrc), shift
 
         def _fold_changed(bits32):
             r16 = bits32[0:16, :] | bits32[16:32, :]
@@ -680,7 +737,8 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
             def hub_body():
                 packed = buf[pl.ds(8 * k, 8), :]
                 wtile = wbuf[pl.ds(8 * k, 8), :] if has_w else None
-                cand, shift = candidate(packed, wtile, q)
+                cand, shift = (candidate_classed if hub_classed
+                               else candidate)(packed, wtile, q)
                 groups = []
                 for gb in range(4):
                     red = jnp.concatenate(
@@ -951,7 +1009,8 @@ class ValueStepper:
 
         kernel = _make_value_kernel(
             R, rows_w, mode, f32, has_w, use_active, zero_acc,
-            track_changed, const_w=const_w)
+            track_changed, const_w=const_w,
+            hub_classed=getattr(plan, "hub_classed", True))
 
         n_streams = 5 if has_w else 3
         scratch = [

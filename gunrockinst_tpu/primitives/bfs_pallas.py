@@ -182,36 +182,43 @@ class _PlanSet:
                       for st in self.dst_steppers)
         return (scal, hbm, scal_d, hbm_d, tuple(self.costs))
 
-    def level(self, args, fw, vw, planes, d, reach):
+    def flags(self, args, fw, vw, reach):
+        """One fused pass producing everything a level decision needs:
+        (ract_s, ract_d) per word-row plus per-part (cost_s, cost_d).
+        Stacked into single reductions because each separate XLA
+        reduce costs ~70 us of launch overhead on this backend — at
+        road-network depths that overhead IS the search time."""
+        scal, hbm, scal_d, hbm_d, costs = args
+        R = self.rows // 8
+        both = jnp.stack([fw, reach & ~vw])          # (2, rows, 128)
+        racts = jnp.any(both != 0, axis=2).astype(jnp.int32)
+        act = jnp.any(racts.reshape(2, R, 8) != 0, axis=2)
+        cs = jnp.stack([c[0] for c in costs])        # (P, R)
+        cd = jnp.stack([c[1] for c in costs])
+        cost_s = jnp.sum(jnp.where(act[0][None, :], cs, 0), axis=1)
+        cost_d = jnp.sum(jnp.where(act[1][None, :], cd, 0), axis=1)
+        return racts, cost_s, cost_d
+
+    def level(self, args, fw, vw, planes, d, racts, cost_s, cost_d):
         """One BFS level across all parts with the per-part
-        src-vs-dst choice; returns (next frontier words, visited',
-        planes')."""
+        src-vs-dst choice (flags() output from the SAME level);
+        returns (next frontier words, visited', planes')."""
         scal, hbm, scal_d, hbm_d, costs = args
         nfw_acc = None
-        R = self.rows // 8
         for i, (st, dst_st) in enumerate(zip(self.steppers,
                                              self.dst_steppers)):
-            ract_s = jnp.any(fw != 0, axis=1).astype(jnp.int32)
             if dst_st is None:
                 nfw, vw, planes = st.step_with_ract(
-                    scal[i], hbm[i], ract_s, fw, vw, planes, d)
+                    scal[i], hbm[i], racts[0], fw, vw, planes, d)
             else:
-                ract_d = jnp.any((reach & ~vw) != 0,
-                                 axis=1).astype(jnp.int32)
-                cs, cd = costs[i]
-
-                def cost_of(ract, cnt):
-                    act = jnp.any(ract.reshape(R, 8) != 0, axis=1)
-                    return jnp.sum(jnp.where(act, cnt, 0))
-
-                use_dst = cost_of(ract_d, cd) < cost_of(ract_s, cs)
+                use_dst = cost_d[i] < cost_s[i]
                 nfw, vw, planes = jax.lax.cond(
                     use_dst,
                     lambda a: dst_st.step_with_ract(
                         scal_d[i], hbm_d[i], a[0], *a[2:]),
                     lambda a: st.step_with_ract(
                         scal[i], hbm[i], a[1], *a[2:]),
-                    (ract_d, ract_s, fw, vw, planes, d))
+                    (racts[1], racts[0], fw, vw, planes, d))
             nfw_acc = nfw if nfw_acc is None else (nfw_acc | nfw)
         return nfw_acc, vw, planes
 
@@ -282,40 +289,72 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                 f0 = jnp.zeros((n_pad,), jnp.bool_).at[src].set(True)
                 fw0 = pack_bitmap(f0, n_words)
                 planes0 = jnp.zeros((P * rows, 128), jnp.int32)
+                fl0 = pset.flags(args, fw0, fw0, reach)
 
                 def cond(c):
-                    planes, fw, vw, depth, cont = c
+                    planes, fw, vw, fl, depth, cont = c
                     return cont & (depth < n)
 
                 def body(c):
-                    planes, fw, vw, depth, _ = c
+                    planes, fw, vw, fl, depth, _ = c
                     d = depth + 1
                     nfw, vw, planes = pset.level(
-                        args, fw, vw, planes, d, reach)
-                    return planes, nfw, vw, d, jnp.any(nfw != 0)
+                        args, fw, vw, planes, d, *fl)
+                    fl2 = pset.flags(args, nfw, vw, reach)
+                    return (planes, nfw, vw, fl2, d,
+                            jnp.any(fl2[0][0] != 0))
 
-                planes, fw, vw, depth, _ = jax.lax.while_loop(
+                planes, fw, vw, _, depth, _ = jax.lax.while_loop(
                     cond, body,
-                    (planes0, fw0, fw0, jnp.int32(0), jnp.bool_(True)))
+                    (planes0, fw0, fw0, fl0, jnp.int32(0),
+                     jnp.bool_(True)))
                 return planes, vw, depth
 
             return impl, pset
+
+        chain_holder = {}
+
+        def deep_impl(psrc):
+            """Road-network-class searches (depth past the 8-plane
+            cap): the whole-search chain kernel, whose per-level cost
+            is the in-kernel region tests + the few active regions —
+            not the ~0.5 ms/level of XLA op-launch overhead the
+            stepped driver pays (pallas_mega.ChainBfs)."""
+            from gunrockinst_tpu.ops.pallas_mega import ChainBfs
+            ch = chain_holder.get("c")
+            if ch is None:
+                try:
+                    ch = ChainBfs(plan, PLANES_FULL, interpret=interp)
+                except Exception:
+                    ch = False
+                chain_holder["c"] = ch
+            if ch is False:
+                return None
+            pln, vw, dep = ch(psrc)
+            return pln, vw, int(np.asarray(dep)[0, 0]), PLANES_FULL
 
         def run_impl(src):
             psrc = int(src) if perm is None else int(perm[int(src)])
             # depth cap 2^P - 1: the 8-plane step covers depth <= 255
             # (every scale-free graph); deeper searches (road-network
-            # diameters) lazily recompile with the full plane count.
-            for P in ((min(8, PLANES_FULL), PLANES_FULL)
-                      if PLANES_FULL > 8 else (PLANES_FULL,)):
-                if P not in impls:
-                    impls[P] = make_impl(P)
-                impl, pset = impls[P]
-                planes, vw, depth = impl(psrc, pset.args(),
-                                         reach_dev(psrc))
-                if int(depth) < (1 << P):
-                    return planes, vw, int(depth), P
-            return planes, vw, int(depth), P
+            # diameters) switch to the whole-search chain kernel.
+            cap = min(8, PLANES_FULL)
+            if cap not in impls:
+                impls[cap] = make_impl(cap)
+            impl, pset = impls[cap]
+            planes, vw, depth = impl(psrc, pset.args(),
+                                     reach_dev(psrc))
+            if int(depth) < (1 << cap) or PLANES_FULL <= cap:
+                return planes, vw, int(depth), cap
+            out = deep_impl(psrc)
+            if out is not None:
+                return out
+            if PLANES_FULL not in impls:   # chain unbuildable: step
+                impls[PLANES_FULL] = make_impl(PLANES_FULL)
+            impl, pset = impls[PLANES_FULL]
+            planes, vw, depth = impl(psrc, pset.args(),
+                                     reach_dev(psrc))
+            return planes, vw, int(depth), PLANES_FULL
     else:
         perm = None
         sweeper = get_pull_sweeper_v3(csr)
@@ -439,20 +478,23 @@ def get_fused_bfs_multi(csr: CsrGraph, reps: int = 8, planes: int = 8):
             f0 = jnp.zeros((n_pad,), jnp.bool_).at[s].set(True)
             fw0 = pack_bitmap(f0, n_words)
             planes0 = jnp.zeros((planes * rows, 128), jnp.int32)
+            fl0 = pset.flags(args, fw0, fw0, reach)
 
             def cond(c):
-                pl_, fw_, vw_, dep, cont = c
+                pl_, fw_, vw_, fl, dep, cont = c
                 return cont & (dep < n)
 
             def body(c):
-                pl_, fw_, vw_, dep, _ = c
+                pl_, fw_, vw_, fl, dep, _ = c
                 dd = dep + 1
                 nfw, vw2, pl2 = pset.level(args, fw_, vw_, pl_, dd,
-                                           reach)
-                return pl2, nfw, vw2, dd, jnp.any(nfw != 0)
+                                           *fl)
+                fl2 = pset.flags(args, nfw, vw2, reach)
+                return (pl2, nfw, vw2, fl2, dd,
+                        jnp.any(fl2[0][0] != 0))
 
-            pl_, fw_, vw_, dep, _ = jax.lax.while_loop(
-                cond, body, (planes0, fw0, fw0, jnp.int32(0),
+            pl_, fw_, vw_, _, dep, _ = jax.lax.while_loop(
+                cond, body, (planes0, fw0, fw0, fl0, jnp.int32(0),
                              jnp.bool_(True)))
             return carry + dep, (dep, vw_)
 

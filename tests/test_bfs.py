@@ -288,3 +288,49 @@ def test_dst_order_plan_invariants():
                                   plan.hub_row_base[hp])
     np.testing.assert_array_equal(
         twin.pk_idx, plan.pk_idx[pkperm.astype(np.int64)])
+
+
+def test_chain_bfs_kernel_interpret(chesapeake):
+    """Whole-search chain kernel (in-kernel level loop + region skip)
+    vs oracle, driven directly."""
+    from gunrockinst_tpu.ops import pallas_mega as pm
+    csc = chesapeake.transposed()
+    plan = pm.build_mega_plan(csc.row_offsets, csc.col_indices,
+                              chesapeake.num_nodes)
+    ch = pm.ChainBfs(plan, planes=6, interpret=True)
+    pln, vw, dep = ch(0)
+    ref_labels, _ = bfs_reference(chesapeake, 0)
+    n = chesapeake.num_nodes
+    vis = np.unpackbits(np.asarray(vw).reshape(-1).view(np.uint8),
+                        bitorder="little")[:n].astype(bool)
+    np.testing.assert_array_equal(vis, ref_labels != INF32)
+    # driver convention: the loop exit iteration (which produces an
+    # empty level) is counted, like the stepped drivers
+    assert int(np.asarray(dep)[0, 0]) == ref_labels[vis].max() + 1
+    pln_np = np.asarray(pln).reshape(6, -1)
+    labels = np.zeros(n, np.int32)
+    for b in range(6):
+        labels |= np.unpackbits(
+            pln_np[b].view(np.uint8), bitorder="little")[:n].astype(
+                np.int32) << b
+    labels[~vis] = INF32
+    labels[0] = 0
+    np.testing.assert_array_equal(labels, ref_labels)
+
+
+def test_deep_search_chain_path_graph():
+    """Depth > 255 routes to the chain kernel in the fused driver; a
+    600-vertex path (diameter 599) must come back exact."""
+    from gunrockinst_tpu.graph.coo import CooGraph
+    from gunrockinst_tpu.graph.csr import CsrGraph
+    from gunrockinst_tpu.primitives import bfs_pallas
+    n = 600
+    u = np.arange(n - 1, dtype=np.int64)
+    v = u + 1
+    csr = CsrGraph.from_coo(CooGraph(
+        n, np.concatenate([u, v]), np.concatenate([v, u]), None))
+    labels, _, depth, _ = bfs_pallas.bfs_pallas_fused(
+        csr, 0, mark_preds=False)
+    ref_labels, _ = bfs_reference(csr, 0)
+    np.testing.assert_array_equal(labels, ref_labels)
+    assert depth == n  # exit-iteration counted (stepped convention)
