@@ -400,12 +400,18 @@ def secondary(csr):
 
     validate = os.environ.get("BENCH_VALIDATE", "1") == "1"
 
+    # NOTE: every section below re-raises _Budget.Expired — swallowing
+    # it in a section's generic handler would disarm the secondary
+    # time budget for all later sections (seen in round-5 probe runs)
+
     if os.environ.get("BENCH_PR", "1") == "1":
         try:
             from gunrockinst_tpu.primitives import pr
             try:
                 res = pr.run(csr, max_iter=5, mode="planes")
                 pr_mode = "planes"
+            except _Budget.Expired:
+                raise
             except Exception as e:
                 log(f"# pagerank planes unavailable ({e}); using xla")
                 res = pr.run(csr, max_iter=5, mode="xla")
@@ -423,6 +429,8 @@ def secondary(csr):
             log(f"# pagerank ({pr_mode}): {res.stats.elapsed_ms:.1f} ms "
                 f"for {res.stats.search_depth} iters -> {rate:.4f} "
                 f"G edge-updates/s{extra}")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# pagerank bench skipped: {e}")
 
@@ -434,6 +442,8 @@ def secondary(csr):
                 res = sssp.run(csr, src, mode="planes",
                                mark_preds=False)
                 s_mode = "planes"
+            except _Budget.Expired:
+                raise
             except Exception as e:
                 log(f"# sssp planes unavailable ({e}); using sparse")
                 res = sssp.run(csr, src)
@@ -457,6 +467,8 @@ def secondary(csr):
             log(f"# sssp ({s_mode}): {res.stats.elapsed_ms:.1f} ms, "
                 f"depth {res.stats.search_depth} -> {rate:.4f} GTEPS"
                 f"{extra}")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# sssp bench skipped: {e}")
 
@@ -466,6 +478,8 @@ def secondary(csr):
             try:
                 res = cc.run(csr, mode="planes")
                 c_mode = "planes"
+            except _Budget.Expired:
+                raise
             except Exception as e:
                 log(f"# cc planes unavailable ({e}); using xla")
                 res = cc.run(csr)
@@ -488,6 +502,8 @@ def secondary(csr):
             log(f"# cc ({c_mode}): {res.stats.elapsed_ms:.1f} ms, "
                 f"{res.num_components} components -> {rate:.4f} "
                 f"G edge/s{extra}")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# cc bench skipped: {e}")
 
@@ -512,6 +528,8 @@ def secondary(csr):
             log(f"# hits (planes): {res.stats.elapsed_ms:.1f} ms for "
                 f"10 iters (2 sweeps each) -> {rate:.4f} "
                 f"G edge-updates/s{extra}")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# hits bench skipped: {e}")
 
@@ -534,6 +552,8 @@ def secondary(csr):
             log(f"# salsa (planes): {res.stats.elapsed_ms:.1f} ms for "
                 f"10 iters (4 sweeps each) -> {rate:.4f} "
                 f"G edge-updates/s{extra}")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# salsa bench skipped: {e}")
 
@@ -548,6 +568,8 @@ def secondary(csr):
                 f"({ph.get('ppr_iters', -1)} iters), cot sort "
                 f"{ph.get('cot_sort_ms', -1):.1f} ms, salsa "
                 f"{ph.get('salsa_ms', -1):.1f} ms]")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# wtf bench skipped: {e}")
 
@@ -564,6 +586,8 @@ def secondary(csr):
             try:
                 res1 = bc.run(csr, src=src, mode="planes")
                 bc_mode = "planes"
+            except _Budget.Expired:
+                raise
             except Exception as e:
                 log(f"# bc planes unavailable ({e}); using xla")
                 g20 = DeviceGraph.build(csr, with_csc=False)
@@ -595,6 +619,8 @@ def secondary(csr):
             log(f"# bc (batched all-source, s{bscale}): "
                 f"{res.stats.elapsed_ms:.1f} ms for {bcsr.num_nodes} "
                 f"sources -> {srcs_per_s:.1f} sources/s")
+        except _Budget.Expired:
+            raise
         except Exception as e:
             log(f"# bc bench skipped: {e}")
 

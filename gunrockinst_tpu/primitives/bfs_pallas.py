@@ -283,6 +283,11 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
 
         def make_impl(P):
             pset = _PlanSet(plan, P, interp)
+            # stop as soon as the P-plane label representation would
+            # overflow: the deep (chain-kernel) phase reruns the whole
+            # search anyway, so finishing here is pure waste (a
+            # grid-1024^2 search is 2045 levels; 8 planes cover 255)
+            cap_depth = min(n, (1 << P) - 1)
 
             @jax.jit
             def impl(src, args, reach):
@@ -293,7 +298,7 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
 
                 def cond(c):
                     planes, fw, vw, fl, depth, cont = c
-                    return cont & (depth < n)
+                    return cont & (depth < cap_depth)
 
                 def body(c):
                     planes, fw, vw, fl, depth, _ = c
@@ -333,19 +338,24 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
             pln, vw, dep = ch(psrc)
             return pln, vw, int(np.asarray(dep)[0, 0]), PLANES_FULL
 
+        went_deep = {"v": False}
+
         def run_impl(src):
             psrc = int(src) if perm is None else int(perm[int(src)])
             # depth cap 2^P - 1: the 8-plane step covers depth <= 255
             # (every scale-free graph); deeper searches (road-network
-            # diameters) switch to the whole-search chain kernel.
+            # diameters) switch to the whole-search chain kernel —
+            # directly, once any search on this graph has gone deep.
             cap = min(8, PLANES_FULL)
-            if cap not in impls:
-                impls[cap] = make_impl(cap)
-            impl, pset = impls[cap]
-            planes, vw, depth = impl(psrc, pset.args(),
-                                     reach_dev(psrc))
-            if int(depth) < (1 << cap) or PLANES_FULL <= cap:
-                return planes, vw, int(depth), cap
+            if not went_deep["v"]:
+                if cap not in impls:
+                    impls[cap] = make_impl(cap)
+                impl, pset = impls[cap]
+                planes, vw, depth = impl(psrc, pset.args(),
+                                         reach_dev(psrc))
+                if int(depth) < (1 << cap) - 1 or PLANES_FULL <= cap:
+                    return planes, vw, int(depth), cap
+                went_deep["v"] = True
             out = deep_impl(psrc)
             if out is not None:
                 return out
