@@ -92,11 +92,45 @@ def worth_relabeling(csr: CsrGraph) -> bool:
 _relabel_cache: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
+def bfs_order_perm(csr: CsrGraph) -> Optional[np.ndarray]:
+    """Breadth-first (Cuthill-McKee-style) renumbering from the
+    highest-degree vertex: wavefronts of a search become CONTIGUOUS id
+    ranges, so the mega/chain kernels' source-region skip sees 1-2
+    active regions per level instead of one vertex in every region
+    (grid/road networks: the row-major anti-diagonal frontier touches
+    every 32K block).  Classic sparse bandwidth reduction re-purposed
+    for frontier locality.  Returns None when the graph is shallow
+    (diameter <= 255: the scale-free regime, where the degree sort is
+    the right order) or scipy is unavailable."""
+    try:
+        from scipy.sparse import csr_matrix
+        from scipy.sparse.csgraph import dijkstra
+    except Exception:
+        return None
+    n, m = csr.num_nodes, csr.num_edges
+    a = csr_matrix((np.ones(m, np.int8), csr.col_indices,
+                    csr.row_offsets), shape=(n, n))
+    src = int(np.argmax(csr.degrees))
+    dist = dijkstra(a, indices=src, unweighted=True, directed=False)
+    finite = np.isfinite(dist)
+    if not finite.any() or int(dist[finite].max()) <= 255:
+        return None
+    # level-sorted renumbering: all of level d ahead of level d+1;
+    # unreached vertices go last
+    key = np.where(finite, dist, np.inf)
+    order = np.lexsort((np.arange(n), key))
+    perm = np.empty(n, np.int64)
+    perm[order] = np.arange(n)
+    return perm.astype(np.int32)
+
+
 def relabeled(csr: CsrGraph) -> Tuple[CsrGraph, Optional[np.ndarray]]:
-    """(csr', perm) where csr' = apply_perm(csr, perm) under the
-    degree order, or (csr, None) when relabeling isn't worthwhile.
-    Cached per CsrGraph (the permuted graph is itself the key for the
-    downstream plan caches, so it must be stable)."""
+    """(csr', perm) where csr' = apply_perm(csr, perm), or (csr, None)
+    when relabeling isn't worthwhile.  Skewed graphs get the degree
+    order (region skip + packing density); near-uniform DEEP graphs
+    get the breadth-first order (wavefront locality).  Cached per
+    CsrGraph (the permuted graph is itself the key for the downstream
+    plan caches, so it must be stable)."""
     hit = _relabel_cache.get(csr)
     if hit is not None:
         return hit
@@ -104,7 +138,12 @@ def relabeled(csr: CsrGraph) -> Tuple[CsrGraph, Optional[np.ndarray]]:
         perm = degree_perm(csr)
         out = (apply_perm(csr, perm), perm)
     else:
-        out = (csr, None)
+        perm = None
+        if csr.num_nodes >= 2 * 65536 and __import__("os").environ.get(
+                "GT_BFS_RELABEL", "1") != "0":
+            perm = bfs_order_perm(csr)
+        out = ((apply_perm(csr, perm), perm) if perm is not None
+               else (csr, None))
     _relabel_cache[csr] = out
     return out
 
