@@ -201,7 +201,7 @@ def main():
                 bfs_line_for(rmat_graph(22, EDGE_FACTOR,
                                         undirected=True, seed=42,
                                         cache_dir=CACHE), "rmat-s22",
-                             multi_k=8)
+                             multi_k=16)
         except _Budget.Expired:
             log("# s22 line skipped: budget expired")
         except Exception as e:
@@ -274,7 +274,7 @@ def market_line():
     g = load_market(path, use_cache=False)   # full parse every run
     log(f"# market parse+build: {_t.time()-t0:.1f}s (native mmap "
         f"parser) -> {g.num_nodes} nodes, {g.num_edges} edges")
-    bfs_line_for(g, f"market:rmat-s{scale}ef{ef}", multi_k=8)
+    bfs_line_for(g, f"market:rmat-s{scale}ef{ef}", multi_k=16)
 
 
 def bfs_line_for(gcsr, name, multi_k: int = 0):

@@ -214,7 +214,15 @@ def main(argv=None) -> int:
     elif prim == "bc":
         from gunrockinst_tpu.primitives import bc as m
         src = resolve_source(args.src, csr)
-        res = _timed(args, lambda: m.run(csr, src=src))
+        bc_mode = "xla"
+        if args.traversal_mode == "planes":
+            try:
+                m.get_bc_planes(csr)
+                bc_mode = "planes"
+            except Exception as e:
+                print(f"bc planes mode unavailable ({e}); "
+                      "falling back to xla")
+        res = _timed(args, lambda: m.run(csr, src=src, mode=bc_mode))
         res.stats.display(prim)
         _display(prim, np.arange(len(res.bc_values)), res.bc_values)
         if not args.quick:

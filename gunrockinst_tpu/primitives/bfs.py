@@ -195,7 +195,18 @@ class BfsResult:
 def run(graph: GraphLike, src: int, mark_preds: bool = True,
         traversal_mode: str = "dense",
         max_depth: Optional[int] = None) -> BfsResult:
-    """Host entry (run_bfs analog, app/bfs/bfs_app.cu:241)."""
+    """Host entry (run_bfs analog, app/bfs/bfs_app.cu:241).
+
+    traversal_mode="auto" picks the fastest applicable path, like the
+    reference's default mode selection: the mega kernel when a host
+    CsrGraph was given, the whole search fits its VMEM word maps, and
+    no depth cap was requested; the XLA light/heavy heuristic
+    otherwise."""
+    if traversal_mode == "auto" and max_depth is None:
+        from gunrockinst_tpu.graph.csr import CsrGraph as _C
+        from gunrockinst_tpu.ops.pallas_mega import sweep_fits as _sf
+        if isinstance(graph, _C) and _sf(graph.num_nodes):
+            traversal_mode = "mega"
     if traversal_mode in ("pallas", "mega"):
         from gunrockinst_tpu.graph.csr import CsrGraph
         from gunrockinst_tpu.primitives.bfs_pallas import bfs_pallas_fused

@@ -56,3 +56,12 @@ def test_cli_unknown_primitive():
 def test_cli_market_requires_file():
     p = run_cli("bfs", "market")
     assert p.returncode != 0
+
+
+def test_cli_bc_planes(capsys):
+    from gunrockinst_tpu import cli
+    rc = cli.main(["bc", "rmat", "--rmat-scale", "8",
+                   "--rmat-edgefactor", "4", "--undirected",
+                   "--traversal-mode", "planes", "--src", "0"])
+    out = capsys.readouterr().out
+    assert rc == 0 and "CORRECT" in out
