@@ -226,7 +226,17 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     # a tile is short only when the cell's remaining class mix is
     # skewed — near-uniform in practice (class = src mod 8 within the
     # word, uncorrelated with degree even after relabeling).
-    hub_cell = cell_count >= HUB_T
+    import os as _os
+    # Default 0 since round 5: dense cells run as full 64-slot pk
+    # group chunks instead of hub tiles — measured 8% faster at
+    # rmat-s20 (PR sweep 226.3 -> 207.5 ms/5-iter run, A/B within
+    # minutes to dodge axon session variance; the flavor probe had
+    # already shown pk at 715 vs hub 850 cycles/subtile).  Same
+    # compiled kernel either way (the hub stream is just empty);
+    # GT_VALUE_HUB_T=<count> restores the hub flavor.
+    hub_min = int(_os.environ.get("GT_VALUE_HUB_T", "0"))
+    hub_cell = (cell_count >= hub_min if hub_min > 0
+                else np.zeros_like(cell_count, dtype=bool))
     hub_tiles_list, hub_w_list, hub_meta = [], [], []
     for c in np.nonzero(hub_cell)[0]:
         s, cnt = int(cell_start[c]), int(cell_count[c])

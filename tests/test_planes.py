@@ -51,8 +51,10 @@ def test_value_sweep_min_f32():
                                   out < vals)
 
 
-def test_value_sweep_min_i32_and_hub():
-    # one hub destination word (>= HUB_T in-region edges)
+def test_value_sweep_min_i32_and_hub(monkeypatch):
+    # one hub destination word (>= threshold in-region edges); the hub
+    # flavor is opt-in since round 5 (GT_VALUE_HUB_T)
+    monkeypatch.setenv("GT_VALUE_HUB_T", "64")
     rng = np.random.default_rng(7)
     n = 2000
     es = np.concatenate([rng.integers(0, n, 900), rng.integers(0, n, 800)])
@@ -60,7 +62,7 @@ def test_value_sweep_min_i32_and_hub():
     csr = CsrGraph.from_coo(CooGraph(n, es, ed, None))
     csc = csr.transposed()
     plan = build_value_plan(csc.row_offsets, csc.col_indices, n)
-    assert plan.hub_meta.shape[0] > 0   # hub flavor exercised
+    assert int(plan.hub_rs[-1]) > 0   # REAL hub subtiles exercised
     stepper = ValueStepper(plan, mode="min", f32=False, use_active=True,
                            interpret=True)
     labels = np.arange(n, dtype=np.int32)
@@ -338,3 +340,31 @@ def test_bc_planes_disconnected():
                    res.labels)   # oracle marks unreached with -1
     np.testing.assert_array_equal(got, ref_labels)
     assert np.all(res.sigmas[ref_labels < 0] == 0)
+
+
+def test_value_hub_flavor_exactness(monkeypatch):
+    """The hub flavor (GT_VALUE_HUB_T>0) is off by default since
+    round 5 but must stay exact — min and add sweeps vs oracles."""
+    monkeypatch.setenv("GT_VALUE_HUB_T", "64")
+    csr = _graph(900, 40000, 21, weights=False, undirected=True)
+    csc = csr.transposed()
+    plan = build_value_plan(csc.row_offsets, csc.col_indices,
+                            csr.num_nodes)
+    assert int(plan.hub_rs[-1]) > 0        # flavor actually exercised
+    n = csr.num_nodes
+    rows_w = plan.rows_w
+    rng = np.random.default_rng(5)
+    vals = rng.uniform(0.1, 10, n).astype(np.float32)
+    st = ValueStepper(plan, mode="add", f32=True, use_active=False,
+                      zero_acc=True, track_changed=False,
+                      interpret=True)
+    acc, _ = st(jnp.asarray(to_bitmajor_np(vals.view(np.int32), rows_w)),
+                jnp.full((rows_w, 128), -1, jnp.int32))
+    got = from_bitmajor_np(np.asarray(acc), n, np.float32)
+    esrc = np.repeat(np.arange(n), np.diff(csr.row_offsets))
+    ref = np.bincount(csc.col_indices, weights=np.zeros(0), minlength=n) if False else None
+    # oracle: out[dst] = sum over in-edges of vals[src]
+    ref = np.zeros(n, np.float64)
+    np.add.at(ref, csr.col_indices, vals[esrc].astype(np.float64))
+    np.testing.assert_allclose(got, ref.astype(np.float32), rtol=1e-5,
+                               atol=1e-5)
