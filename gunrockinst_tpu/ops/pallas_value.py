@@ -75,7 +75,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from gunrockinst_tpu.ops.pallas_advance_v2 import (
-    TILE_E, HUB_T, SHIFT_BITS, SRC_MASK, LANES_USED, BLOCKS)
+    HUB_T, SHIFT_BITS, SRC_MASK, LANES_USED, BLOCKS)
 
 REGION_V = 4096     # source vertices per region = ONE word-row.  Each
                     # bit group's value row is then unique per region,
@@ -152,7 +152,9 @@ class ValuePlan:
     # is position-in-word mod 8: per-tile capacity is 128 PER CLASS
     # and cell class mixes are near-uniform, so utilization is
     # essentially unchanged (measured at s20: hub subtiles 22368 ->
-    # 22496, +0.6%).
+    # 23136, +3.4%).  NOTE: measured a WASH on chip vs the select tree
+    # (the sweep is reduce-bound), and the hub flavor itself is off by
+    # default since round 5 (all-pk packing measured 8% faster).
     hub_classed: bool = True
 
     @property
@@ -234,7 +236,10 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     # already shown pk at 715 vs hub 850 cycles/subtile).  Same
     # compiled kernel either way (the hub stream is just empty);
     # GT_VALUE_HUB_T=<count> restores the hub flavor.
-    hub_min = int(_os.environ.get("GT_VALUE_HUB_T", "0"))
+    try:
+        hub_min = int(_os.environ.get("GT_VALUE_HUB_T", "0"))
+    except ValueError:
+        hub_min = 0
     hub_cell = (cell_count >= hub_min if hub_min > 0
                 else np.zeros_like(cell_count, dtype=bool))
     hub_tiles_list, hub_w_list, hub_meta = [], [], []
@@ -486,9 +491,32 @@ def get_unweighted_plan(csr) -> "ValuePlan":
         return hit
     csr_p, perm = relabeled(csr)
     csc = csr_p.transposed()
-    plan = _with_perm(build_value_plan(csc.row_offsets, csc.col_indices,
-                                       csr.num_nodes), perm)
+    plan = _with_perm(_build_fitting_plan(
+        csc.row_offsets, csc.col_indices, csr.num_nodes), perm)
     _unweighted_plan_cache[csr] = plan
+    return plan
+
+
+def _build_fitting_plan(ro, ci, n, weights=None):
+    """build_value_plan under the current flavor default, retried
+    WITH the hub flavor when the all-pk plan busts the SMEM subtile
+    budget (a pk tile holds one group chunk per destination word, so
+    a graph with extreme hub words can need far more pk tiles than
+    hub tiles; the hub flavor is the safety net)."""
+    plan = build_value_plan(ro, ci, n, weights=weights)
+    if not value_fits(plan) and not plan.hub_rs[-1]:
+        import os
+        old = os.environ.get("GT_VALUE_HUB_T")
+        os.environ["GT_VALUE_HUB_T"] = str(HUB_T)
+        try:
+            retry = build_value_plan(ro, ci, n, weights=weights)
+        finally:
+            if old is None:
+                os.environ.pop("GT_VALUE_HUB_T", None)
+            else:
+                os.environ["GT_VALUE_HUB_T"] = old
+        if value_fits(retry):
+            return retry
     return plan
 
 
@@ -511,8 +539,8 @@ def get_reverse_plan(csr) -> "ValuePlan":
     else:
         csr_p, perm = relabeled(csr)
         plan = _with_perm(
-            build_value_plan(csr_p.row_offsets, csr_p.col_indices,
-                             csr.num_nodes), perm)
+            _build_fitting_plan(csr_p.row_offsets, csr_p.col_indices,
+                                csr.num_nodes), perm)
     _reverse_plan_cache[csr] = plan
     return plan
 

@@ -77,7 +77,7 @@ def get_cc_planes(csr, interpret=None):
     from gunrockinst_tpu.graph.coo import CooGraph
     from gunrockinst_tpu.graph.csr import CsrGraph
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, _with_perm, build_value_plan,
+        ValueStepper, _build_fitting_plan, _with_perm,
         get_unweighted_plan, layout_vals, layout_words, unlayout_vals)
     from gunrockinst_tpu.graph.relabel import relabeled
 
@@ -103,7 +103,7 @@ def get_cc_planes(csr, interpret=None):
         und_p, uperm = relabeled(und)
         ucsc = und_p.transposed()
         plan = _with_perm(
-            build_value_plan(ucsc.row_offsets, ucsc.col_indices, n),
+            _build_fitting_plan(ucsc.row_offsets, ucsc.col_indices, n),
             uperm)
     stepper = ValueStepper(plan, mode="min", f32=False,
                            use_active=True, interpret=interpret)

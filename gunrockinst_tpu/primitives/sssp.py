@@ -167,7 +167,7 @@ def get_sssp_planes(csr, interpret=None):
     import jax
     import jax.numpy as jnp
     from gunrockinst_tpu.ops.pallas_value import (
-        ValueStepper, _with_perm, build_value_plan,
+        ValueStepper, _build_fitting_plan, _with_perm,
         get_unweighted_plan, layout_words, unlayout_vals,
         bitmajor_fill_np)
     from gunrockinst_tpu.graph.relabel import relabeled
@@ -193,8 +193,8 @@ def get_sssp_planes(csr, interpret=None):
         const_w = float(w.flat[0]) if w.size else 1.0
     else:
         plan = _with_perm(
-            build_value_plan(csc.row_offsets, csc.col_indices, n,
-                             weights=w), _rperm)
+            _build_fitting_plan(csc.row_offsets, csc.col_indices, n,
+                                weights=w), _rperm)
         const_w = None
     stepper = ValueStepper(plan, mode="min", f32=True,
                            use_active=True, const_w=const_w,

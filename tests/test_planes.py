@@ -344,7 +344,8 @@ def test_bc_planes_disconnected():
 
 def test_value_hub_flavor_exactness(monkeypatch):
     """The hub flavor (GT_VALUE_HUB_T>0) is off by default since
-    round 5 but must stay exact — min and add sweeps vs oracles."""
+    round 5 but must stay exact — ADD sweep vs oracle here; the min
+    hub path is covered by test_value_sweep_min_i32_and_hub."""
     monkeypatch.setenv("GT_VALUE_HUB_T", "64")
     csr = _graph(900, 40000, 21, weights=False, undirected=True)
     csc = csr.transposed()
@@ -362,7 +363,6 @@ def test_value_hub_flavor_exactness(monkeypatch):
                 jnp.full((rows_w, 128), -1, jnp.int32))
     got = from_bitmajor_np(np.asarray(acc), n, np.float32)
     esrc = np.repeat(np.arange(n), np.diff(csr.row_offsets))
-    ref = np.bincount(csc.col_indices, weights=np.zeros(0), minlength=n) if False else None
     # oracle: out[dst] = sum over in-edges of vals[src]
     ref = np.zeros(n, np.float64)
     np.add.at(ref, csr.col_indices, vals[esrc].astype(np.float64))
