@@ -95,7 +95,16 @@ DMA_REGS = 8        # regions per DMA super-region (32768 sources).
 NUM_LSEL = 6        # independent lane-placement idx rows per tile per
                     # word (a word may own this many 8-slot lane chunks
                     # in one tile before deferring to the next)
-CHUNK = 32          # subtiles per DMA chunk
+import os as _os_env
+try:
+    CHUNK = int(_os_env.environ.get("GT_VALUE_CHUNK", "32"))
+except ValueError:
+    CHUNK = 32
+CHUNK = CHUNK       # subtiles per DMA chunk (GT_VALUE_CHUNK knob:
+                    # larger chunks halve the per-chunk wait/start
+                    # branches in the streaming loop at the cost of
+                    # VMEM buffers; read once at import so plans and
+                    # steppers stay consistent)
 SLOTS = 4
 VMEM_LIMIT_BYTES = 14 * 1024 * 1024
 SMEM_META_LIMIT = 3 * 256 * 1024   # per-subtile scalar metadata budget
