@@ -627,7 +627,16 @@ def _make_value_kernel(R: int, rows_w: int, mode: str, f32: bool,
     # candidates on the changed words (ract[q] == 0 then implies every
     # candidate is the identity); a min stepper without active gating
     # must stay branchless or it would drop relaxations.
-    subtile_skip = is_min and use_active
+    # BRANCHLESS by default since round 5: under the relabeled all-pk
+    # plans the round-4 tradeoff flipped (same-session A/B at s20:
+    # SSSP 151.8 -> 110.0 ms, CC 132.7 -> 124.1 ms without the skip —
+    # the dead-subtile mix the skip exploited is already gone because
+    # changed sets now concentrate into skippable REGIONS).
+    # GT_VALUE_MINSKIP=1 restores the per-subtile skip.
+    import os as _osk
+    subtile_skip = (is_min and use_active
+                    and _osk.environ.get("GT_VALUE_MINSKIP",
+                                         "0") == "1")
 
     def comb(a, b):
         return jnp.minimum(a, b) if is_min else a + b
