@@ -334,3 +334,19 @@ def test_deep_search_chain_path_graph():
     ref_labels, _ = bfs_reference(csr, 0)
     np.testing.assert_array_equal(labels, ref_labels)
     assert depth == n  # exit-iteration counted (stepped convention)
+
+
+def test_bfs_mega_directed_relabeled(monkeypatch):
+    """Directed (asymmetric) graphs through the mega driver: the
+    destination-side reach mask degrades to the safe has-in-edges
+    superset; labels must stay exact, with and without relabeling."""
+    from gunrockinst_tpu.graph.rmat import rmat_graph
+    for force in (False, True):
+        if force:
+            monkeypatch.setenv("GT_BFS_RELABEL", "force")
+        csr = rmat_graph(13, 6, undirected=False, seed=41 + force)
+        for src in (0, 999):
+            res = bfs.run(csr, src, mark_preds=False,
+                          traversal_mode="mega")
+            ref_labels, _ = bfs_reference(csr, src)
+            np.testing.assert_array_equal(res.labels, ref_labels)
