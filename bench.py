@@ -329,10 +329,19 @@ def check_multi_exact(csr, srcs, vws, fn):
     graphs are undirected), so one CPU BFS per DISTINCT component
     covers every search; component labels are cached per graph."""
     import numpy as np
-    from gunrockinst_tpu.graph.relabel import component_labels
+    from gunrockinst_tpu.graph.relabel import (component_labels,
+                                               is_symmetric)
     from gunrockinst_tpu.oracles import bfs_reference
-    comp = component_labels(csr)
     INF = np.iinfo(np.int32).max
+    if not is_symmetric(csr):
+        # directed: reachable sets differ per source even within one
+        # weak component — run the oracle per source
+        for i, s in enumerate(np.asarray(srcs)):
+            ref_l, _ = bfs_reference(csr, int(s))
+            if not np.array_equal(fn.visited_of(vws[i]), ref_l != INF):
+                return False
+        return True
+    comp = component_labels(csr)
     ref_vis = {}
     for i, s in enumerate(np.asarray(srcs)):
         c = int(comp[int(s)])

@@ -96,15 +96,16 @@ NUM_LSEL = 6        # independent lane-placement idx rows per tile per
                     # word (a word may own this many 8-slot lane chunks
                     # in one tile before deferring to the next)
 import os as _os_env
+# subtiles per DMA chunk (GT_VALUE_CHUNK knob: larger chunks thin the
+# per-chunk wait/start branches at the cost of VMEM buffers; measured
+# a wash at 64.  Read once at import so plans and steppers stay
+# consistent; clamped to the 256-subtile dummy tail so chunk padding
+# can never outrun it.)
 try:
-    CHUNK = int(_os_env.environ.get("GT_VALUE_CHUNK", "32"))
+    CHUNK = min(256, max(8, int(_os_env.environ.get("GT_VALUE_CHUNK",
+                                                    "32"))))
 except ValueError:
     CHUNK = 32
-CHUNK = CHUNK       # subtiles per DMA chunk (GT_VALUE_CHUNK knob:
-                    # larger chunks halve the per-chunk wait/start
-                    # branches in the streaming loop at the cost of
-                    # VMEM buffers; read once at import so plans and
-                    # steppers stay consistent)
 SLOTS = 4
 VMEM_LIMIT_BYTES = 14 * 1024 * 1024
 SMEM_META_LIMIT = 3 * 256 * 1024   # per-subtile scalar metadata budget
@@ -177,7 +178,8 @@ class ValuePlan:
 
 def build_value_plan(adj_row_offsets: np.ndarray,
                      adj_col_indices: np.ndarray, n: int,
-                     weights: Optional[np.ndarray] = None) -> ValuePlan:
+                     weights: Optional[np.ndarray] = None,
+                     hub_min: Optional[int] = None) -> ValuePlan:
     """Hub/packed value tiles from the pull-direction adjacency (CSC:
     row = dst, col = src).  pallas_advance_v2.build_pull_plan_v2's cell
     geometry and packer with (a) 4096-vertex source regions, (b)
@@ -244,11 +246,13 @@ def build_value_plan(adj_row_offsets: np.ndarray,
     # minutes to dodge axon session variance; the flavor probe had
     # already shown pk at 715 vs hub 850 cycles/subtile).  Same
     # compiled kernel either way (the hub stream is just empty);
-    # GT_VALUE_HUB_T=<count> restores the hub flavor.
-    try:
-        hub_min = int(_os.environ.get("GT_VALUE_HUB_T", "0"))
-    except ValueError:
-        hub_min = 0
+    # GT_VALUE_HUB_T=<count> (or the hub_min argument) restores the
+    # hub flavor.
+    if hub_min is None:
+        try:
+            hub_min = int(_os.environ.get("GT_VALUE_HUB_T", "0"))
+        except ValueError:
+            hub_min = 0
     hub_cell = (cell_count >= hub_min if hub_min > 0
                 else np.zeros_like(cell_count, dtype=bool))
     hub_tiles_list, hub_w_list, hub_meta = [], [], []
@@ -514,16 +518,8 @@ def _build_fitting_plan(ro, ci, n, weights=None):
     hub tiles; the hub flavor is the safety net)."""
     plan = build_value_plan(ro, ci, n, weights=weights)
     if not value_fits(plan) and not plan.hub_rs[-1]:
-        import os
-        old = os.environ.get("GT_VALUE_HUB_T")
-        os.environ["GT_VALUE_HUB_T"] = str(HUB_T)
-        try:
-            retry = build_value_plan(ro, ci, n, weights=weights)
-        finally:
-            if old is None:
-                os.environ.pop("GT_VALUE_HUB_T", None)
-            else:
-                os.environ["GT_VALUE_HUB_T"] = old
+        retry = build_value_plan(ro, ci, n, weights=weights,
+                                 hub_min=HUB_T)
         if value_fits(retry):
             return retry
     return plan

@@ -213,11 +213,12 @@ def get_bc_planes(csr, interpret=None, level_cap: int = 64):
         get_add_stepper, get_reverse_plan, get_unweighted_plan,
         layout_vals, layout_words, unlayout_vals)
 
-    hit = _planes_cache.get(csr)
-    if hit is not None:
-        return hit
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    key = (bool(interpret), int(level_cap))
+    hit = _planes_cache.get(csr)
+    if hit is not None and key in hit:
+        return hit[key]
     n = csr.num_nodes
     plan_f = get_unweighted_plan(csr)
     plan_r = get_reverse_plan(csr)
@@ -300,7 +301,6 @@ def get_bc_planes(csr, interpret=None, level_cap: int = 64):
         return program
 
     def fn(src):
-        ls = int(src) if plan_f.perm is None else int(plan_f.perm[src])
         chm = np.zeros(n, bool)
         chm[int(src)] = True
         f0w = jnp.asarray(layout_words(plan_f, chm))
@@ -340,7 +340,7 @@ def get_bc_planes(csr, interpret=None, level_cap: int = 64):
         delta_np[int(src)] = 0.0
         return delta_np, sigma_np, labels, depth, device_ms
 
-    _planes_cache[csr] = fn
+    _planes_cache.setdefault(csr, {})[key] = fn
     return fn
 
 

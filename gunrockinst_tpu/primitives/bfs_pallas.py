@@ -276,6 +276,8 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
         def reach_dev(psrc: int):
             hitr = reach_cache.get(psrc)
             if hitr is None:
+                if len(reach_cache) >= 64:   # bound HBM residency
+                    reach_cache.clear()
                 hitr = jnp.asarray(reach_words_for(csr_p, psrc,
                                                    n_words))
                 reach_cache[psrc] = hitr
@@ -309,11 +311,13 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                     return (planes, nfw, vw, fl2, d,
                             jnp.any(fl2[0][0] != 0))
 
-                planes, fw, vw, _, depth, _ = jax.lax.while_loop(
+                planes, fw, vw, _, depth, cont = jax.lax.while_loop(
                     cond, body,
                     (planes0, fw0, fw0, fl0, jnp.int32(0),
                      jnp.bool_(True)))
-                return planes, vw, depth
+                # cont True at exit == the cap stopped us (depth
+                # overflowed the plane budget), not convergence
+                return planes, vw, depth, cont
 
             return impl, pset
 
@@ -351,9 +355,9 @@ def get_fused_bfs(csr: CsrGraph, use_mega: Optional[bool] = None):
                 if cap not in impls:
                     impls[cap] = make_impl(cap)
                 impl, pset = impls[cap]
-                planes, vw, depth = impl(psrc, pset.args(),
-                                         reach_dev(psrc))
-                if int(depth) < (1 << cap) - 1 or PLANES_FULL <= cap:
+                planes, vw, depth, cont = impl(psrc, pset.args(),
+                                               reach_dev(psrc))
+                if not bool(cont) or PLANES_FULL <= cap:
                     return planes, vw, int(depth), cap
                 went_deep["v"] = True
             out = deep_impl(psrc)
